@@ -1,0 +1,141 @@
+"""Mask-prediction machinery tests: energy invariants, multi-level bands,
+block-list conversion, pooled-score sanity (reference semantics from
+``transfer_attn_to_mask`` / ``efficient_attn_with_pooling``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blade.attention import masks as M
+
+
+def _rand_scores(rng, b=2, h=3, nq=16, nk=16):
+    s = jax.random.uniform(rng, (b, h, nq, nk)) ** 4  # peaked
+    return s / jnp.sum(s, axis=-1, keepdims=True)
+
+
+def test_energy_mask_retain_clamps():
+    rng = jax.random.PRNGKey(0)
+    scores = _rand_scores(rng, nq=20, nk=20)
+    mask = M.energy_mask(scores, min_retain_ratio=0.1, max_retain_ratio=0.3, force_last2=False)
+    counts = np.asarray(mask.sum(axis=-1))
+    nk = scores.shape[-1]
+    assert counts.min() >= max(1, int(nk * 0.1))
+    assert counts.max() <= max(1, int(nk * 0.3))
+
+
+def test_energy_mask_keeps_top_blocks():
+    # One dominant block per row -> with tight clamps it must be selected.
+    nq, nk = 8, 16
+    scores = jnp.full((1, 1, nq, nk), 1e-4)
+    hot = jnp.arange(nq) % nk
+    scores = scores.at[0, 0, jnp.arange(nq), hot].set(1.0)
+    mask = M.energy_mask(scores, min_retain_ratio=1 / 16, max_retain_ratio=2 / 16,
+                         force_last2=False)
+    got = np.asarray(mask[0, 0, jnp.arange(nq), hot])
+    assert got.all()
+
+
+def test_energy_mask_force_last2():
+    rng = jax.random.PRNGKey(1)
+    scores = _rand_scores(rng)
+    mask = M.energy_mask(scores, force_last2=True)
+    assert bool(mask[..., -2:, :].all())
+    assert bool(mask[..., :, -2:].all())
+
+
+def test_energy_mask_per_head_ratios():
+    rng = jax.random.PRNGKey(2)
+    b, h, nq, nk = 2, 2, 10, 20
+    scores = _rand_scores(rng, b, h, nq, nk)
+    max_r = jnp.array([[0.1, 0.5], [0.5, 0.1]])
+    mask = M.energy_mask(scores, min_retain_ratio=0.05, max_retain_ratio=max_r,
+                         force_last2=False)
+    counts = np.asarray(mask.sum(-1))
+    assert counts[0, 0].max() <= int(nk * 0.1)
+    assert counts[1, 1].max() <= int(nk * 0.1)
+
+
+def test_multilevel_mask_bands():
+    rng = jax.random.PRNGKey(3)
+    scores = _rand_scores(rng, b=1, h=1, nq=8, nk=40)
+    levels = M.multilevel_mask(scores, force_last2=False)
+    lv = np.asarray(levels[0, 0])
+    nk = 40
+    for row in range(8):
+        vals, counts = np.unique(lv[row], return_counts=True)
+        d = dict(zip(vals.tolist(), counts.tolist()))
+        assert d.get(1, 0) == int(nk * 0.05)
+        assert d.get(2, 0) == int(nk * 0.15) - int(nk * 0.05)
+        assert d.get(4, 0) == int(nk * 0.25) - int(nk * 0.15)
+        assert d.get(8, 0) == int(nk * 0.5) - int(nk * 0.25)
+        assert d.get(0, 0) == nk - int(nk * 0.5)
+    # Levels must track the score ranking: the argmax block gets level 1.
+    top = np.asarray(jnp.argmax(scores[0, 0], axis=-1))
+    assert (lv[np.arange(8), top] == 1).all()
+
+
+def test_block_lists_roundtrip():
+    rng = jax.random.PRNGKey(4)
+    mask = jax.random.uniform(rng, (2, 2, 6, 12)) < 0.3
+    idx, counts = M.mask_to_block_lists(mask, max_blocks=12)
+    mask_np = np.asarray(mask)
+    for b in range(2):
+        for h in range(2):
+            for q in range(6):
+                sel = np.where(mask_np[b, h, q])[0]
+                c = int(counts[b, h, q])
+                assert c == len(sel)
+                np.testing.assert_array_equal(np.asarray(idx[b, h, q, :c]), sel)
+                if c:  # padding repeats the last valid index
+                    assert (np.asarray(idx[b, h, q, c:]) == sel[-1]).all()
+
+
+def test_block_lists_max_blocks_cap():
+    mask = jnp.ones((1, 1, 4, 16), dtype=bool)
+    idx, counts = M.mask_to_block_lists(mask, max_blocks=8)
+    assert idx.shape[-1] == 8
+    assert int(counts.max()) == 8
+
+
+def test_sample_block_tokens_shapes_and_membership():
+    rng = jax.random.PRNGKey(5)
+    x = jax.random.normal(rng, (2, 3, 256, 8))
+    s = M.sample_block_tokens(jax.random.PRNGKey(6), x, block=128, num_keep=32)
+    assert s.shape == (2, 3, 64, 8)
+    # Every sampled token must exist in its source block.
+    xs = np.asarray(x).reshape(2, 3, 2, 128, 8)
+    ss = np.asarray(s).reshape(2, 3, 2, 32, 8)
+    for b in range(2):
+        for h in range(3):
+            for blk in range(2):
+                src = {tuple(r) for r in xs[b, h, blk]}
+                for r in ss[b, h, blk]:
+                    assert tuple(r) in src
+
+
+def test_pooled_scores_rows_normalized_and_pick_signal():
+    rng = jax.random.PRNGKey(7)
+    b, h, nq, nk, tpb, d = 1, 2, 4, 4, 8, 16
+    q = jax.random.normal(rng, (b, h, nq * tpb, d))
+    # Make q-block i strongly attend to k-block (i+1) % nk.
+    k = jnp.zeros((b, h, nk * tpb, d))
+    for i in range(nq):
+        tgt = (i + 1) % nk
+        k = k.at[:, :, tgt * tpb:(tgt + 1) * tpb].set(
+            5.0 * q[:, :, i * tpb:i * tpb + tpb]
+        )
+    po = M.pooled_attention_scores(q, k, tokens_per_block=tpb)
+    assert po.shape == (b, h, nq, nk)
+    np.testing.assert_allclose(np.asarray(po.sum(-1)), 1.0, rtol=1e-5)
+    picked = np.asarray(jnp.argmax(po, axis=-1))[0]
+    expect = (np.arange(nq) + 1) % nk
+    assert (picked == expect).all()
+
+
+def test_pad_to_block_multiple_edge():
+    x = jnp.arange(10, dtype=jnp.float32).reshape(1, 5, 2)
+    y = M.pad_to_block_multiple(x, 4, axis=1)
+    assert y.shape == (1, 8, 2)
+    np.testing.assert_array_equal(np.asarray(y[0, 5:]), np.asarray(x[0, -1:]).repeat(3, 0))
