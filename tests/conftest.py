@@ -1,11 +1,21 @@
 """Test environment: CPU backend with 8 virtual devices for mesh tests.
 
-Must run before the first ``import jax`` anywhere in the test session.
+The ambient environment registers the TPU ("axon") PJRT plugin in
+``sitecustomize`` and pins ``jax.config.jax_platforms`` to it; unit tests
+must run on a virtual 8-device CPU mesh instead (set
+``BLADE_TEST_PLATFORM=tpu`` to exercise the real chip).  This module runs
+before any test imports heavy code, while the JAX backend is still
+uninitialized, so the config update below wins.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_platform = os.environ.get("BLADE_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
