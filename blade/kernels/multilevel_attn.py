@@ -1,0 +1,271 @@
+"""Multi-level pooled block-sparse attention (inference path of ASA).
+
+Each 128x128 attention block is attended at one of five levels
+(reference semantics: ``cogvideo_newattn.py`` + the 1.6k-line multi-level
+Triton kernel ``block_sparse_attn_kernel_with_backward_9_10.py``):
+
+  * 0 — skipped entirely,
+  * 1 — full attention,
+  * L in {2, 4, 8} — the block's K/V are L-times mean-pooled and scores get
+    a ``+log(L)`` bias so each pooled key carries the softmax mass of L keys.
+
+TPU realization: instead of one mega-kernel dispatching five inner loops per
+block (the Triton design), each level is an independent *grouped block-gather
+flash pass* over that level's K/V pyramid — level L gathers L sub-segments of
+``128/L`` pooled rows into one 128-wide MXU tile per iteration — and the
+per-level ``(out, lse)`` results are LSE-merged exactly (softmax is
+associative over disjoint key sets).  Level 1 reuses the binary sparse
+kernel.  This turns 1.6k lines of handwritten Triton into one parameterized
+kernel + composition, and every level pass runs dense 128-wide matmuls on
+the MXU.
+
+The multi-level path is inference-only in the reference pipeline (the
+training path uses the binary + pooled-branch fusion); this kernel is
+forward-only.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blade.attention.masks import mask_to_block_lists, pad_to_block_multiple
+from blade.kernels.block_sparse_attn import (
+    KV_BLOCK,
+    NEG_INF,
+    _interpret_default,
+    _tile_lists,
+    block_sparse_attention,
+)
+from blade.kernels.ref_attention import mean_pool_kv, merge_attention
+
+__all__ = ["multilevel_attention", "pooled_level_attention"]
+
+
+def _grouped_fwd_kernel(
+    cnt_ref,  # [BH, nQt] int32 (SMEM prefetch): # selected original blocks
+    idx_hbm,  # [BH, nQt, 8, maxK] int32 (HBM)
+    q_ref,  # [1, q_block, D]
+    k_ref,  # ANY: pooled K [BH, Lp, D]
+    v_ref,  # ANY: pooled V
+    o_ref,
+    lse_ref,  # [1, 8, q_block]
+    idxbuf,  # SMEM (8, maxK)
+    kbuf,  # VMEM (2, KV_BLOCK, D)
+    vbuf,
+    sem,  # DMA (2, 2, group)
+    idx_sem,
+    *,
+    scale: float,
+    bias: float,
+    group: int,
+    seg_rows: int,
+    pooled_valid_len: int,
+    q_block: int,
+):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    count = cnt_ref[bh, qi]
+    iters = pl.cdiv(count, group)
+
+    idx_dma = pltpu.make_async_copy(idx_hbm.at[bh, qi], idxbuf, idx_sem)
+    idx_dma.start()
+    idx_dma.wait()
+
+    def seg_copy(ref, buf, slot, t, g, which):
+        blk = idxbuf[0, t * group + g]
+        return pltpu.make_async_copy(
+            ref.at[bh, pl.ds(blk * seg_rows, seg_rows), :],
+            buf.at[slot, pl.ds(g * seg_rows, seg_rows), :],
+            sem.at[slot, which, g],
+        )
+
+    def start_all(slot, t):
+        for g in range(group):
+            seg_copy(k_ref, kbuf, slot, t, g, 0).start()
+            seg_copy(v_ref, vbuf, slot, t, g, 1).start()
+
+    def wait_all(slot, t):
+        for g in range(group):
+            seg_copy(k_ref, kbuf, slot, t, g, 0).wait()
+            seg_copy(v_ref, vbuf, slot, t, g, 1).wait()
+
+    @pl.when(iters > 0)
+    def _warmup():
+        start_all(0, 0)
+
+    q = q_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_block, KV_BLOCK), 1)
+
+    def body(t, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < iters)
+        def _prefetch():
+            start_all(nxt, t + 1)
+
+        wait_all(slot, t)
+        s = jax.lax.dot_general(
+            q, kbuf[slot], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias
+        # Column validity: each of the `group` segments is valid iff its list
+        # entry is below `count` and its pooled source rows are in range.
+        valid = jnp.zeros((q_block, KV_BLOCK), jnp.bool_)
+        for g in range(group):
+            blk = idxbuf[0, t * group + g]
+            in_seg = (col >= g * seg_rows) & (col < (g + 1) * seg_rows)
+            src_row = blk * seg_rows + (col - g * seg_rows)
+            ok = (t * group + g < count) & (src_row < pooled_valid_len)
+            valid = valid | (in_seg & ok)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(vbuf.dtype), vbuf[slot], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * alpha + pv
+        return m_new, l, acc
+
+    d = q_ref.shape[-1]
+    m0 = jnp.full((q_block, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((q_block, 1), jnp.float32)
+    acc0 = jnp.zeros((q_block, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, iters, body, (m0, l0, acc0))
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+    lse_ref[0] = jnp.broadcast_to(jnp.transpose(lse, (1, 0)), lse_ref.shape[1:])
+
+
+def pooled_level_attention(
+    q: jnp.ndarray,  # [BH, Lq_pad, D] (Lq_pad % q_block == 0)
+    k_pool: jnp.ndarray,  # [BH, Lp, D] level-pooled keys
+    v_pool: jnp.ndarray,
+    block_mask: jnp.ndarray,  # [BH, nQt, nK] bool (original block coords)
+    *,
+    level: int,
+    scale: float,
+    pooled_valid_len: int,
+    q_block: int = 128,
+    interpret: Optional[bool] = None,
+):
+    """One level's grouped gather pass; returns ``(out, lse)`` ([BH, Lq])."""
+    if interpret is None:
+        interpret = _interpret_default()
+    bh, lq, d = q.shape
+    n_qt = lq // q_block
+    seg_rows = KV_BLOCK // level
+    idx, cnt = mask_to_block_lists(block_mask)
+    idx4, cnt = _tile_lists(idx, cnt)
+    max_k = idx4.shape[-1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, n_qt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, 8, q_block), lambda b, i, *_: (b, 0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((8, max_k), jnp.int32),
+            pltpu.VMEM((2, KV_BLOCK, d), k_pool.dtype),
+            pltpu.VMEM((2, KV_BLOCK, d), v_pool.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, level)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out, lse8 = pl.pallas_call(
+        functools.partial(
+            _grouped_fwd_kernel,
+            scale=scale,
+            bias=float(math.log(level)),
+            group=level,
+            seg_rows=seg_rows,
+            pooled_valid_len=pooled_valid_len,
+            q_block=q_block,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 8, lq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cnt, idx4, q, k_pool, v_pool)
+    return out, lse8[:, 0, :]
+
+
+def multilevel_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    levels: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """Multi-level pooled sparse attention over ``[B, H, L, D]``.
+
+    ``levels``: int ``[B, H, n_q, n_k]`` in {0, 1, 2, 4, 8} (see
+    ``blade.attention.masks.multilevel_mask``).  Returns ``(out, lse)``.
+    Forward-only (inference path).
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d))
+    if interpret is None:
+        interpret = _interpret_default()
+
+    # Level-1 pass: exact per-block attention via the binary sparse kernel.
+    out1, lse1 = block_sparse_attention(
+        q, k, v, levels == 1, scale=scale, interpret=interpret
+    )
+    outs = [out1.astype(jnp.float32)]
+    lses = [lse1]
+
+    # Pooled pyramids use replicate padding so tail blocks pool plausible
+    # tokens (reference pads with `mode='replicate'` before pooling).
+    lq_pad = -(-lq // 128) * 128
+    kp_full = pad_to_block_multiple(k, 128, axis=2)
+    vp_full = pad_to_block_multiple(v, 128, axis=2)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0))) if lq_pad != lq else q
+    qp = qp.reshape(b * h, lq_pad, d)
+
+    for level in (2, 4, 8):
+        kp = mean_pool_kv(kp_full, level).reshape(b * h, -1, d)
+        vp = mean_pool_kv(vp_full, level).reshape(b * h, -1, d)
+        mask_l = (levels == level).reshape(b * h, levels.shape[-2], levels.shape[-1])
+        out_l, lse_l = pooled_level_attention(
+            qp, kp, vp, mask_l,
+            level=level, scale=scale,
+            pooled_valid_len=-(-lk // level),
+            interpret=interpret,
+        )
+        out_l = out_l.reshape(b, h, lq_pad, d)[:, :, :lq]
+        lse_l = lse_l.reshape(b, h, lq_pad)[:, :, :lq]
+        outs.append(out_l.astype(jnp.float32))
+        lses.append(lse_l)
+
+    out, lse = merge_attention(outs, lses)
+    return out.astype(q.dtype), lse

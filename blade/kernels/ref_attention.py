@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -22,6 +24,8 @@ __all__ = [
     "dense_attention_with_lse",
     "block_masked_attention",
     "merge_attention",
+    "mean_pool_kv",
+    "multilevel_block_attention_reference",
     "NEG_INF",
 ]
 
@@ -91,6 +95,52 @@ def block_masked_attention(
     lse = (m + jnp.log(l_safe))[..., 0]
     lse = jnp.where(l[..., 0] == 0, NEG_INF, lse)
     return out.astype(q.dtype), lse
+
+
+def mean_pool_kv(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Mean-pool keys/values along the sequence axis by ``factor``.
+
+    ``x``: ``[..., L, D]`` with ``L % factor == 0`` (callers replicate-pad
+    first).  Level-``factor`` pooled keys stand in for ``factor`` original
+    keys; pair with a ``+log(factor)`` score bias so softmax mass matches
+    (reference: the ``+log(level)`` constants in the multi-level Triton
+    kernel, ``block_sparse_attn_kernel_with_backward_9_10.py:164-313``).
+    """
+    *lead, length, d = x.shape
+    return x.reshape(*lead, length // factor, factor, d).mean(axis=-2)
+
+
+def multilevel_block_attention_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    levels: jnp.ndarray,
+    *,
+    scale: float | None = None,
+    block: int = 128,
+):
+    """Dense reference for multi-level pooled block attention.
+
+    ``levels``: int ``[B, H, n_q, n_k]`` in {0, 1, 2, 4, 8}: 0 = skip,
+    1 = full attention, L = attend to L-times mean-pooled K/V of that block
+    with a ``+log(L)`` bias.  Sequences must be multiples of ``block``.
+    Returns ``(out, lse)``.
+    """
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    outs, lses = [], []
+    for level in (1, 2, 4, 8):
+        kp = k if level == 1 else mean_pool_kv(k, level)
+        vp = v if level == 1 else mean_pool_kv(v, level)
+        sub_block = block // level
+        block_mask = levels == level
+        out_l, lse_l = block_masked_attention(
+            q, kp, vp, block_mask, scale=scale,
+            block_q=block, block_k=sub_block, bias=float(np.log(level)),
+        )
+        outs.append(out_l)
+        lses.append(lse_l)
+    return merge_attention(outs, lses)
 
 
 def merge_attention(outs: Sequence[jnp.ndarray], lses: Sequence[jnp.ndarray]):

@@ -1,0 +1,56 @@
+"""Multi-level pooled attention kernel vs dense reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blade.attention import masks as M
+from blade.kernels.multilevel_attn import multilevel_attention
+from blade.kernels.ref_attention import (
+    dense_attention_with_lse,
+    multilevel_block_attention_reference,
+)
+
+
+def _qkv(rng, b=1, h=2, l=512, d=64, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(rng, 3)
+    return (
+        jax.random.normal(kq, (b, h, l, d), dtype),
+        jax.random.normal(kk, (b, h, l, d), dtype),
+        jax.random.normal(kv, (b, h, l, d), dtype),
+    )
+
+
+def _levels_from_scores(rng, b, h, nq, nk):
+    scores = jax.random.uniform(rng, (b, h, nq, nk))
+    scores = scores / scores.sum(-1, keepdims=True)
+    return M.multilevel_mask(scores, force_last2=True)
+
+
+def test_multilevel_matches_reference():
+    q, k, v = _qkv(jax.random.PRNGKey(0), l=512)
+    levels = _levels_from_scores(jax.random.PRNGKey(1), 1, 2, 4, 4)
+    out, lse = multilevel_attention(q, k, v, levels, interpret=True)
+    ref_out, ref_lse = multilevel_block_attention_reference(q, k, v, levels)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-5, rtol=2e-5)
+
+
+def test_all_level_one_equals_dense():
+    q, k, v = _qkv(jax.random.PRNGKey(2), l=256)
+    levels = jnp.ones((1, 2, 2, 2), jnp.int32)
+    out, lse = multilevel_attention(q, k, v, levels, interpret=True)
+    ref_out, ref_lse = dense_attention_with_lse(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-5, rtol=2e-5)
+
+
+def test_single_level_band():
+    """Pure level-4 mask (plus forced level-1 last rows/cols) sanity."""
+    q, k, v = _qkv(jax.random.PRNGKey(3), l=512)
+    levels = jnp.full((1, 2, 4, 4), 4, jnp.int32)
+    levels = levels.at[..., -2:].set(1).at[..., -2:, :].set(1)
+    out, lse = multilevel_attention(q, k, v, levels, interpret=True)
+    ref_out, ref_lse = multilevel_block_attention_reference(q, k, v, levels)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-5, rtol=2e-5)
