@@ -1,0 +1,189 @@
+"""ASA — Adaptive block-Sparse Attention (the reference's core algorithm).
+
+Composition (training path, reference ``adaptive_block_sparse_attn``,
+``cogvideo_blocksparseattn.py:327-394``):
+
+  1. Gilbert-rearrange tokens so spatio-temporal neighbors share 128-blocks.
+  2. Predict a per-(batch, head) boolean block mask from a subsampled pooled
+     attention estimate (no gradients through the predictor).
+  3. Branch A: binary block-sparse flash attention over the mask.
+     Branch B: dense attention against ``sample_gap``-mean-pooled K/V — a
+     low-resolution global corrective for everything the mask dropped.
+  4. Merge branches in log space: ``alpha = softmax([lse_A, lse_B +
+     log(sample_gap)])`` — here realized as exact LSE merging with the
+     ``log(gap)`` bias folded into branch B's scores.
+  5. Inverse-rearrange the output.
+
+Inference path (reference ``cogvideo_newattn.py``): the same predictor feeds
+a multi-level {0,1,2,4,8} mask executed by the grouped pooled kernel.
+
+Everything is functional: geometry lives in :class:`ASAConfig`; randomness
+(token subsampling) comes from an explicit PRNG key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from blade.attention import gilbert
+from blade.attention import masks as M
+from blade.kernels.block_sparse_attn import block_sparse_attention, flash_attention
+from blade.kernels.multilevel_attn import multilevel_attention
+from blade.kernels.ref_attention import merge_attention
+
+__all__ = ["ASAConfig", "predict_block_scores", "adaptive_sparse_attention",
+           "asa_attention", "COGVIDEOX_ASA", "WAN_ASA"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ASAConfig:
+    """Geometry + sparsity hyperparameters for one model family.
+
+    Reference constants: ``cogvideo_blocksparseattn.py:9-16`` (CogVideoX),
+    ``wanx_blocksparseattn.py:9-16`` (Wan).
+    """
+
+    latent_width: int
+    latent_height: int
+    latent_frames: int
+    text_length: int = 0
+    use_rearrange: bool = True
+    block_size: int = 128
+    sample_tokens_per_block: int = 32
+    min_retain_ratio: float = 0.05
+    max_retain_ratio: float = 0.1
+    energy_threshold: float = 0.95
+    sample_gap: int = 15
+    mask_mode: str = "energy"  # "energy" (train) | "multilevel" (inference)
+    mask_ratios: Optional[Dict[int, Tuple[float, float]]] = None
+
+    @property
+    def video_tokens(self) -> int:
+        return self.latent_width * self.latent_height * self.latent_frames
+
+    @property
+    def seq_len(self) -> int:
+        return self.video_tokens + self.text_length
+
+    def permutations(self):
+        return gilbert.gilbert_permutations(
+            self.latent_width, self.latent_height, self.latent_frames
+        )
+
+
+# Reference geometry: CogVideoX-5B 49f 480x720 -> 13x30x45 latents + 226 text
+COGVIDEOX_ASA = ASAConfig(
+    latent_width=45, latent_height=30, latent_frames=13,
+    text_length=226, sample_gap=15,
+    min_retain_ratio=0.05, max_retain_ratio=0.1,
+)
+# Wan2.1-1.3B 81f 480x832 -> 21x30x52 latents, video-only self attention
+WAN_ASA = ASAConfig(
+    latent_width=52, latent_height=30, latent_frames=21,
+    text_length=0, sample_gap=30,
+    min_retain_ratio=0.05, max_retain_ratio=0.2,
+)
+
+
+def predict_block_scores(
+    rng: jax.Array, q: jnp.ndarray, k: jnp.ndarray, cfg: ASAConfig
+) -> jnp.ndarray:
+    """Pooled block-score estimate ``[B, H, n_q, n_k]`` (stop-gradient).
+
+    Subsamples ``sample_tokens_per_block`` tokens per 128-block of Q and K
+    (shared offsets per (B, H), reference ``random_sample_tokens``) and runs
+    the pooled softmax estimator.
+    """
+    q = jax.lax.stop_gradient(q)
+    k = jax.lax.stop_gradient(k)
+    rq, rk = jax.random.split(rng)
+    qp = M.pad_to_block_multiple(q, cfg.block_size)
+    kp = M.pad_to_block_multiple(k, cfg.block_size)
+    q_s = M.sample_block_tokens(rq, qp, cfg.block_size, cfg.sample_tokens_per_block)
+    k_s = M.sample_block_tokens(rk, kp, cfg.block_size, cfg.sample_tokens_per_block)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    return M.pooled_attention_scores(
+        q_s, k_s, tokens_per_block=cfg.sample_tokens_per_block, scale=scale
+    )
+
+
+def adaptive_sparse_attention(
+    rng: jax.Array,
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cfg: ASAConfig,
+    *,
+    interpret: Optional[bool] = None,
+):
+    """Training-path ASA over already-(re)arranged ``[B, H, L, D]``.
+
+    Returns ``(out, sparsity)`` where sparsity mirrors the reference metric
+    ``1 - mask.mean() - 1/sample_gap``.
+    """
+    scores = predict_block_scores(rng, q, k, cfg)
+
+    if cfg.mask_mode == "multilevel":
+        levels = M.multilevel_mask(scores, cfg.mask_ratios)
+        out, _ = multilevel_attention(q, k, v, levels, interpret=interpret)
+        ratios = cfg.mask_ratios or M.DEFAULT_MASK_RATIOS
+        density = sum(
+            (hi - lo) / lv for lv, (lo, hi) in ratios.items() if lv != 0
+        )
+        return out, jnp.asarray(1.0 - density, jnp.float32)
+
+    mask = M.energy_mask(
+        scores,
+        min_retain_ratio=cfg.min_retain_ratio,
+        max_retain_ratio=cfg.max_retain_ratio,
+        energy_threshold=cfg.energy_threshold,
+    )
+    out1, lse1 = block_sparse_attention(q, k, v, mask, interpret=interpret)
+
+    # Low-res global branch: sample_gap-mean-pooled K/V with +log(gap) bias
+    # (each pooled key stands in for `gap` keys).
+    kp = M.pad_to_block_multiple(k, cfg.sample_gap)
+    vp = M.pad_to_block_multiple(v, cfg.sample_gap)
+    k_pool = kp.reshape(*kp.shape[:2], -1, cfg.sample_gap, kp.shape[-1]).mean(axis=-2)
+    v_pool = vp.reshape(*vp.shape[:2], -1, cfg.sample_gap, vp.shape[-1]).mean(axis=-2)
+    out2, lse2 = flash_attention(
+        q, k_pool, v_pool,
+        scale=1.0 / math.sqrt(q.shape[-1]),
+        bias=float(math.log(cfg.sample_gap)),
+        interpret=interpret,
+    )
+
+    out, _ = merge_attention([out1, out2], [lse1, lse2])
+    sparsity = 1.0 - M.mask_density(mask) - 1.0 / cfg.sample_gap
+    return out.astype(q.dtype), sparsity
+
+
+def asa_attention(
+    rng: jax.Array,
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cfg: ASAConfig,
+    *,
+    interpret: Optional[bool] = None,
+):
+    """Full ASA: gilbert rearrange -> adaptive sparse attention -> restore.
+
+    ``q, k, v``: ``[B, H, text_length + video_tokens, D]`` with the text
+    segment first (CogVideoX layout; ``text_length == 0`` for Wan).
+    Returns ``(out, sparsity)``.
+    """
+    if cfg.use_rearrange:
+        perm, inv = cfg.permutations()
+        q = gilbert.rearrange_tokens(q, perm, cfg.text_length)
+        k = gilbert.rearrange_tokens(k, perm, cfg.text_length)
+        v = gilbert.rearrange_tokens(v, perm, cfg.text_length)
+    out, sparsity = adaptive_sparse_attention(rng, q, k, v, cfg, interpret=interpret)
+    if cfg.use_rearrange:
+        out = gilbert.unrearrange_tokens(out, inv, cfg.text_length)
+    return out, sparsity
