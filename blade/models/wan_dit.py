@@ -1,0 +1,231 @@
+"""Wan2.1 text-to-video diffusion transformer (Flax).
+
+Architecture parity with ``diffusers.WanTransformer3DModel`` /
+Wan2.1-T2V-1.3B as consumed by the reference (``wanx/train/modify_wan.py``,
+``wanx/train/train_wanx_tdm.py``): patchify (1,2,2) conv, per-block
+(modulation-table + time-projection) AdaLN with 6 params, video-only
+self-attention with 3-D RoPE and RMS QK-norm, text cross-attention
+(UMT5 features), GELU FFN, modulated head.
+
+The self-attention function is pluggable (``attention_fn``) so the same
+module runs dense or ASA block-sparse — the TPU equivalent of the
+reference's processor swap (``set_adaptive_block_sparse_attn_wanx``,
+``modify_wan.py:150-168``).  Flow-matching: the model output is the velocity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from blade.models.layers import (
+    FeedForward,
+    RMSNorm,
+    TimestepEmbedder,
+    apply_rope,
+    dense_attention_fn,
+    rope_3d_tables,
+)
+
+__all__ = ["WanConfig", "WanModel", "WAN_1_3B", "WAN_14B", "WAN_TINY"]
+
+
+@dataclasses.dataclass(frozen=True)
+class WanConfig:
+    dim: int = 1536
+    ffn_dim: int = 8960
+    num_layers: int = 30
+    num_heads: int = 12
+    in_channels: int = 16
+    out_channels: int = 16
+    text_dim: int = 4096
+    freq_dim: int = 256
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    eps: float = 1e-6
+    cross_attn_norm: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+
+WAN_1_3B = WanConfig()
+WAN_14B = WanConfig(dim=5120, ffn_dim=13824, num_layers=40, num_heads=40)
+# CPU-testable toy config
+WAN_TINY = WanConfig(dim=128, ffn_dim=256, num_layers=2, num_heads=2, text_dim=64,
+                     freq_dim=32)
+
+
+class WanSelfAttention(nn.Module):
+    cfg: WanConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, rope_cos, rope_sin, attention_fn, attn_kwargs):
+        c = self.cfg
+        b, l, _ = x.shape
+        dense = lambda name: nn.Dense(
+            c.dim, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        q = RMSNorm(eps=c.eps, name="norm_q")(dense("to_q")(x))
+        k = RMSNorm(eps=c.eps, name="norm_k")(dense("to_k")(x))
+        v = dense("to_v")(x)
+
+        def heads(t):  # [B, L, D] -> [B, H, L, d]
+            return t.reshape(b, l, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+        out = attention_fn(q, k, v, **attn_kwargs)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, c.dim).astype(self.dtype)
+        return dense("to_out")(out)
+
+
+class WanCrossAttention(nn.Module):
+    cfg: WanConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context):
+        c = self.cfg
+        b, l, _ = x.shape
+        lt = context.shape[1]
+        dense = lambda name: nn.Dense(
+            c.dim, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        q = RMSNorm(eps=c.eps, name="norm_q")(dense("to_q")(x))
+        k = RMSNorm(eps=c.eps, name="norm_k")(dense("to_k")(context))
+        v = dense("to_v")(context)
+        q = q.reshape(b, l, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(b, lt, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, lt, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+        # Text length is tiny (<=512): plain fused attention is MXU-optimal.
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+        ) / jnp.sqrt(jnp.float32(c.head_dim))
+        p = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, c.dim).astype(self.dtype)
+        return dense("to_out")(out)
+
+
+class WanBlock(nn.Module):
+    cfg: WanConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context, temb6, rope_cos, rope_sin, attention_fn, attn_kwargs):
+        c = self.cfg
+        # Per-block learned modulation table added to the shared time
+        # projection (Wan's `modulation` parameter).
+        table = self.param(
+            "modulation", nn.initializers.normal(0.02), (1, 6, c.dim), jnp.float32
+        )
+        e = (table + temb6).astype(jnp.float32)  # [B, 6, dim]
+        shift1, scale1, gate1, shift2, scale2, gate2 = [
+            e[:, i][:, None, :] for i in range(6)
+        ]
+
+        ln = lambda name=None: nn.LayerNorm(
+            epsilon=c.eps, use_bias=False, use_scale=False, dtype=jnp.float32,
+            name=name,
+        )
+        h = ln()(x).astype(jnp.float32) * (1 + scale1) + shift1
+        attn = WanSelfAttention(c, self.dtype, name="attn1")(
+            h.astype(self.dtype), rope_cos, rope_sin, attention_fn, attn_kwargs
+        )
+        x = x + (gate1 * attn.astype(jnp.float32)).astype(x.dtype)
+
+        norm_x = (
+            nn.LayerNorm(epsilon=c.eps, use_bias=True, use_scale=True,
+                         dtype=jnp.float32, name="norm3")(x)
+            if c.cross_attn_norm
+            else x
+        )
+        attn2 = WanCrossAttention(c, self.dtype, name="attn2")(
+            norm_x.astype(self.dtype), context
+        )
+        x = x + attn2.astype(x.dtype)
+
+        h = ln()(x).astype(jnp.float32) * (1 + scale2) + shift2
+        ffn = FeedForward(c.ffn_dim, dtype=self.dtype, name="ffn")(h.astype(self.dtype))
+        x = x + (gate2 * ffn.astype(jnp.float32)).astype(x.dtype)
+        return x
+
+
+class WanModel(nn.Module):
+    """Wan DiT over latent video ``[B, C, T, H, W]`` -> velocity prediction.
+
+    ``attention_fn(q, k, v, **attn_kwargs) -> out`` is called for every
+    block's self-attention with ``[B, H, L, D]`` tensors in token order
+    ``(t, h, w)`` flattened t-major (w fastest — the Gilbert permutation in
+    ``blade.attention`` uses the same convention).
+    """
+
+    cfg: WanConfig
+    dtype: Any = jnp.bfloat16
+    attention_fn: Callable = dense_attention_fn
+
+    @nn.compact
+    def __call__(self, latents, timestep, text_embeds, attn_kwargs=None):
+        c = self.cfg
+        attn_kwargs = attn_kwargs or {}
+        b, ch, t, h, w = latents.shape
+        pt, ph, pw = c.patch_size
+        gt, gh, gw = t // pt, h // ph, w // pw
+
+        # Patchify: Conv3D k=s=(1,2,2)  -> tokens (t, h, w) flattened t-major.
+        x = jnp.transpose(latents, (0, 2, 3, 4, 1))  # [B, T, H, W, C]
+        x = nn.Conv(
+            c.dim, kernel_size=c.patch_size, strides=c.patch_size,
+            dtype=self.dtype, param_dtype=jnp.float32, name="patch_embedding",
+        )(x.astype(self.dtype))
+        x = x.reshape(b, gt * gh * gw, c.dim)
+
+        # Text projection (UMT5 features -> dim).
+        ctx = nn.Dense(c.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="text_proj_1")(text_embeds.astype(self.dtype))
+        ctx = nn.gelu(ctx, approximate=True)
+        ctx = nn.Dense(c.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="text_proj_2")(ctx)
+
+        # Time embedding + shared 6-way projection.
+        temb = TimestepEmbedder(c.dim, freq_dim=c.freq_dim, name="time_embed")(
+            timestep
+        )  # [B, dim] f32
+        temb6 = nn.Dense(6 * c.dim, dtype=jnp.float32, param_dtype=jnp.float32,
+                         name="time_projection")(nn.silu(temb))
+        temb6 = temb6.reshape(b, 6, c.dim)
+
+        cos, sin = rope_3d_tables(c.head_dim, (gt, gh, gw))
+        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+        for i in range(c.num_layers):
+            x = WanBlock(c, self.dtype, name=f"blocks_{i}")(
+                x, ctx, temb6, cos, sin, self.attention_fn, attn_kwargs
+            )
+
+        # Head: 2-way modulation from temb, then projection to patches.
+        head_table = self.param(
+            "head_modulation", nn.initializers.normal(0.02), (1, 2, c.dim),
+            jnp.float32,
+        )
+        e = (head_table + temb[:, None, :]).astype(jnp.float32)
+        shift, scale = e[:, 0][:, None, :], e[:, 1][:, None, :]
+        xh = nn.LayerNorm(epsilon=c.eps, use_bias=False, use_scale=False,
+                          dtype=jnp.float32, name="norm_out")(x)
+        xh = xh * (1 + scale) + shift
+        out = nn.Dense(
+            pt * ph * pw * c.out_channels, dtype=jnp.float32,
+            param_dtype=jnp.float32, name="proj_out",
+        )(xh.astype(self.dtype))
+
+        # Unpatchify back to [B, C, T, H, W].
+        out = out.reshape(b, gt, gh, gw, pt, ph, pw, c.out_channels)
+        out = jnp.einsum("bthwpqrc->bctphqwr", out).reshape(b, c.out_channels, t, h, w)
+        return out
