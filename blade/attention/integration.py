@@ -1,0 +1,39 @@
+"""Glue between ASA and the DiT models (the reference's "model patching").
+
+Where the reference monkey-patches diffusers attention processors
+(``set_block_sparse_attn_cogvideox``/``set_adaptive_block_sparse_attn_wanx``),
+here the DiTs take a pluggable ``attention_fn``; this module builds those
+functions.  Randomness for the mask predictor's token subsampling arrives
+through ``attn_kwargs['rng']`` and is folded with the layer index so each
+block draws fresh samples (the reference draws fresh ``torch.rand`` per
+call).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from blade.attention.asa import ASAConfig, asa_attention
+
+__all__ = ["make_asa_attention_fn"]
+
+
+def make_asa_attention_fn(asa_cfg: ASAConfig, interpret: Optional[bool] = None):
+    """Returns ``attention_fn(q, k, v, rng=..., layer_index=...) -> out``.
+
+    Drop-in for ``WanModel``/``CogVideoXModel`` ``attention_fn``; applies the
+    full ASA pipeline (gilbert reorder, mask prediction, sparse + pooled
+    fusion or multi-level execution per ``asa_cfg.mask_mode``).
+    """
+
+    def attention_fn(q, k, v, *, rng=None, layer_index=0, **_):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        rng = jax.random.fold_in(rng, layer_index)
+        out, _ = asa_attention(rng, q, k, v, asa_cfg, interpret=interpret)
+        return out.astype(q.dtype)
+
+    return attention_fn

@@ -196,7 +196,8 @@ class CogVideoXModel(nn.Module):
         hidden = x
         for i in range(c.num_layers):
             hidden, enc = CogVideoXBlock(c, self.dtype, name=f"blocks_{i}")(
-                hidden, enc, temb, cos, sin, self.attention_fn, attn_kwargs
+                hidden, enc, temb, cos, sin, self.attention_fn,
+                dict(attn_kwargs, layer_index=i),
             )
 
         # Final: joint LayerNorm over [text, video], then AdaLN + projection.

@@ -207,7 +207,8 @@ class WanModel(nn.Module):
 
         for i in range(c.num_layers):
             x = WanBlock(c, self.dtype, name=f"blocks_{i}")(
-                x, ctx, temb6, cos, sin, self.attention_fn, attn_kwargs
+                x, ctx, temb6, cos, sin, self.attention_fn,
+                dict(attn_kwargs, layer_index=i),
             )
 
         # Head: 2-way modulation from temb, then projection to patches.

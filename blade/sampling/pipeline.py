@@ -1,0 +1,162 @@
+"""Jit-scanned denoising loops (the reference's 8-step distilled samplers).
+
+The reference drives sampling through diffusers pipelines
+(``cogvideox/train/inference.py``: 8 steps, CFG 1.0, trailing DPM;
+``wanx/train/inference.py``: 8 steps, flow UniPC, shift 3.0).  Here each
+sampler is a single ``lax.scan`` over the step index with the model applied
+functionally — one XLA compilation for the whole loop, donated carries, no
+host round trips.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from blade.schedulers import ddpm as D
+from blade.schedulers import unipc_flow as F
+from blade.schedulers.cogvideox_dpm import (
+    DPMSchedule,
+    dpm_init,
+    dpm_step,
+    make_dpm_schedule,
+)
+
+__all__ = ["sample_wan", "sample_cogvideox", "ddim_trajectory_sampler"]
+
+ModelFn = Callable[..., jnp.ndarray]  # (latents, timestep[B], rng) -> prediction
+
+
+def _with_cfg(model_fn, guidance_scale, text_embeds, neg_text_embeds):
+    """Classifier-free guidance wrapper; no-op at scale 1 (distilled models)."""
+
+    def fn(x, t, rng):
+        cond = model_fn(x, t, text_embeds, rng)
+        if guidance_scale is None or guidance_scale == 1.0:
+            return cond
+        uncond = model_fn(x, t, neg_text_embeds, rng)
+        return uncond + guidance_scale * (cond - uncond)
+
+    return fn
+
+
+def sample_wan(
+    model_fn: ModelFn,
+    noise: jnp.ndarray,
+    text_embeds: jnp.ndarray,
+    *,
+    rng: jax.Array,
+    num_steps: int = 8,
+    flow_shift: float = 3.0,
+    guidance_scale: float = 1.0,
+    neg_text_embeds: Optional[jnp.ndarray] = None,
+    solver: str = "unipc",
+):
+    """Flow-matching sampling for Wan: noise -> clean latents.
+
+    ``model_fn(latents, timestep, text_embeds, rng) -> velocity``.
+    """
+    sched = F.make_flow_unipc_schedule(num_steps, flow_shift=flow_shift)
+    timesteps = jnp.asarray(sched.timesteps, jnp.float32)
+    fn = _with_cfg(model_fn, guidance_scale, text_embeds, neg_text_embeds)
+
+    if solver == "euler":
+        def body(carry, i):
+            x = carry
+            v = fn(x, jnp.full(noise.shape[:1], timesteps[i]), jax.random.fold_in(rng, i))
+            return F.euler_step(sched, x, v, i), None
+
+        x, _ = jax.lax.scan(body, noise, jnp.arange(num_steps))
+        return x
+
+    def body(carry, i):
+        state = carry
+        v = fn(
+            state.x,
+            jnp.full(noise.shape[:1], timesteps[i]),
+            jax.random.fold_in(rng, i),
+        )
+        return F.unipc_step(sched, state, v, i), None
+
+    state, _ = jax.lax.scan(body, F.unipc_init(noise), jnp.arange(num_steps))
+    return state.x
+
+
+def sample_cogvideox(
+    model_fn: ModelFn,
+    noise: jnp.ndarray,
+    text_embeds: jnp.ndarray,
+    *,
+    rng: jax.Array,
+    num_steps: int = 8,
+    guidance_scale: float = 1.0,
+    neg_text_embeds: Optional[jnp.ndarray] = None,
+    ddpm_schedule: Optional[D.DDPMSchedule] = None,
+):
+    """v-prediction DPM++(2M) sampling with trailing spacing (CogVideoX)."""
+    base = ddpm_schedule or D.make_ddpm_schedule()
+    sched = make_dpm_schedule(base, num_steps)
+    timesteps = jnp.asarray(sched.timesteps, jnp.float32)
+    fn = _with_cfg(model_fn, guidance_scale, text_embeds, neg_text_embeds)
+
+    def body(carry, i):
+        state = carry
+        v = fn(
+            state.x,
+            jnp.full(noise.shape[:1], timesteps[i]),
+            jax.random.fold_in(rng, i),
+        )
+        return dpm_step(sched, state, v, i), None
+
+    state, _ = jax.lax.scan(body, dpm_init(noise), jnp.arange(num_steps))
+    return state.x
+
+
+def ddim_trajectory_sampler(
+    model_fn: ModelFn,
+    noise: jnp.ndarray,
+    text_embeds: jnp.ndarray,
+    sched: D.DDPMSchedule,
+    *,
+    rng: jax.Array,
+    steps: int = 8,
+    eta: float = 1.0,
+    total_steps: int = 1000,
+    return_trajectory: bool = False,
+):
+    """The reference trainer's K-step stochastic DDIM simulator
+    (``generate_new``, ``train_cogvideo_tdm.py:1415-1449``): at each step,
+    predict x0, form ``eps_mix = eta * eps_hat + sqrt(1-eta^2) * xi`` and
+    re-noise to ``t - total/steps``.
+
+    Returns final x0, or (x0_list [K, ...], noisy_list [K+1, ...]) when
+    ``return_trajectory`` — noisy_list[k] is the sample *fed to* step k
+    (noisy_list[K] is the final x0, matching the reference's append).
+    """
+    b = noise.shape[0]
+    t0 = jnp.full((b,), total_steps - 1, jnp.int32)
+    step_delta = total_steps // steps
+
+    def body(carry, k):
+        x_t, t = carry
+        krng = jax.random.fold_in(rng, k)
+        v = model_fn(x_t, t.astype(jnp.float32), text_embeds, krng)
+        x0 = D.pred_x0_from_v(sched, v, x_t, t)
+        eps_hat = D.pred_eps_from_x0(sched, x0, x_t, t)
+        t_next = t - step_delta
+        xi = jax.random.normal(jax.random.fold_in(krng, 1), x_t.shape, x_t.dtype)
+        eps_mix = eta * eps_hat + jnp.sqrt(max(1.0 - eta**2, 0.0)) * xi
+        # Clamp for the final iteration (t_next < 0 is never *used*: the last
+        # x0 is the output, but scan still gathers tables with it).
+        x_next = D.add_noise(sched, x0, eps_mix, jnp.maximum(t_next, 0))
+        return (x_next, t_next), (x0, x_t)
+
+    (x_last, _), (x0s, noisys) = jax.lax.scan(
+        body, (noise, t0), jnp.arange(steps)
+    )
+    if return_trajectory:
+        noisy_list = jnp.concatenate([noisys, x0s[-1:]], axis=0)
+        return x0s, noisy_list
+    return x0s[-1]

@@ -1,0 +1,144 @@
+"""TDM trainer tests: LoRA mechanics + one full train step per family."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blade.models.cogvideox_dit import COGVIDEOX_TINY, CogVideoXModel
+from blade.models.wan_dit import WAN_TINY, WanModel
+from blade.schedulers import ddpm as D
+from blade.schedulers import unipc_flow as F
+from blade.training import lora as L
+from blade.training import tdm
+
+
+def test_lora_init_and_merge_identity():
+    model = WanModel(WAN_TINY, dtype=jnp.float32)
+    lat = jnp.zeros((1, 16, 2, 8, 8))
+    text = jnp.zeros((1, 8, WAN_TINY.text_dim))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), text)
+    lora = L.init_lora(jax.random.PRNGKey(1), params, rank=4)
+    assert L.lora_param_count(lora) > 0
+    # b factors start at zero -> merge is the identity.
+    merged = L.merge_lora(params, lora, alpha=4, rank=4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(merged)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_lora_merge_changes_targets_only():
+    model = WanModel(WAN_TINY, dtype=jnp.float32)
+    lat = jnp.zeros((1, 16, 2, 8, 8))
+    text = jnp.zeros((1, 8, WAN_TINY.text_dim))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), text)
+    lora = L.init_lora(jax.random.PRNGKey(1), params, rank=4)
+    # poke all b's
+    lora = jax.tree_util.tree_map(lambda x: x + 0.1, lora)
+    merged = L.merge_lora(params, lora, alpha=4, rank=4)
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_m = jax.tree_util.tree_leaves(merged)
+    changed = unchanged = 0
+    for (path, a), b in zip(flat_p, flat_m):
+        keys = "/".join(str(getattr(p, "key", "")) for p in path)
+        diff = np.abs(np.asarray(a) - np.asarray(b)).max()
+        is_target = any(t in keys for t in L.DEFAULT_TARGETS) and keys.endswith(
+            "kernel"
+        )
+        if is_target:
+            assert diff > 0, keys
+            changed += 1
+        else:
+            assert diff == 0, keys
+            unchanged += 1
+    assert changed > 0 and unchanged > 0
+
+
+def _wan_setup():
+    model = WanModel(WAN_TINY, dtype=jnp.float32)
+    lat_shape = (2, 16, 2, 8, 8)
+    text = jax.random.normal(jax.random.PRNGKey(0), (2, 8, WAN_TINY.text_dim))
+    params = model.init(
+        jax.random.PRNGKey(1), jnp.zeros(lat_shape), jnp.array([1.0, 1.0]), text
+    )
+
+    def apply_fn(p, x, t, txt, rng):
+        return model.apply(p, x, t, txt, attn_kwargs={"rng": rng})
+
+    return apply_fn, params, lat_shape, text
+
+
+def test_trajectory_shapes():
+    apply_fn, params, lat_shape, text = _wan_setup()
+    family = tdm.flow_family(F.flow_training_sigmas(1000, 3.0))
+    noise = jax.random.normal(jax.random.PRNGKey(2), lat_shape)
+    x0s, noisy = tdm.k_step_trajectory(
+        apply_fn, params, family, noise, text, jax.random.PRNGKey(3),
+        k_step=4, eta=0.9,
+    )
+    assert x0s.shape == (4,) + lat_shape
+    assert noisy.shape == (5,) + lat_shape
+    np.testing.assert_allclose(np.asarray(noisy[0]), np.asarray(noise))
+    np.testing.assert_allclose(np.asarray(noisy[-1]), np.asarray(x0s[-1]))
+
+
+@pytest.mark.parametrize("fam", ["flow", "ddpm"])
+def test_train_step_runs_and_updates(fam):
+    if fam == "flow":
+        apply_fn, params, lat_shape, text = _wan_setup()
+        family = tdm.flow_family(F.flow_training_sigmas(1000, 3.0))
+        cfg = tdm.TDMConfig(
+            k_step=2, lambda_reg=0.0, use_weighting_factor=False,
+            fake_loss_skip_threshold=1e9, lora_rank=4, lora_alpha=4,
+        )
+    else:
+        model = CogVideoXModel(COGVIDEOX_TINY, dtype=jnp.float32)
+        lat_shape = (2, 2, 16, 8, 8)
+        text = jax.random.normal(
+            jax.random.PRNGKey(0), (2, 8, COGVIDEOX_TINY.text_embed_dim)
+        )
+        params = model.init(
+            jax.random.PRNGKey(1), jnp.zeros(lat_shape), jnp.array([1.0, 1.0]), text
+        )
+
+        def apply_fn(p, x, t, txt, rng):
+            return model.apply(p, x, t, txt, attn_kwargs={"rng": rng})
+
+        family = tdm.ddpm_family(D.make_ddpm_schedule())
+        cfg = tdm.TDMConfig(k_step=2, lambda_reg=0.5, lora_rank=4, lora_alpha=4)
+
+    state = tdm.create_tdm_state(jax.random.PRNGKey(4), params, cfg)
+    step = tdm.make_tdm_train_step(apply_fn, family, cfg)
+    batch = {
+        "text_embeds": text,
+        "uncond_embeds": text * 0,
+        "noise": jax.random.normal(jax.random.PRNGKey(5), lat_shape),
+    }
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(6))
+    assert np.isfinite(float(metrics["loss_fake"]))
+    assert np.isfinite(float(metrics["loss_du"]))
+    assert int(new_state.step) == 1
+    # adapters moved
+    d_g = sum(
+        float(np.abs(np.asarray(a - b)).sum())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.lora_g),
+            jax.tree_util.tree_leaves(new_state.lora_g),
+        )
+    )
+    d_f = sum(
+        float(np.abs(np.asarray(a - b)).sum())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.lora_f),
+            jax.tree_util.tree_leaves(new_state.lora_f),
+        )
+    )
+    assert d_f > 0
+    assert d_g > 0
+    # base frozen
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.base_params),
+        jax.tree_util.tree_leaves(new_state.base_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
