@@ -1,0 +1,322 @@
+"""Causal 3-D video VAE (Flax): CogVideoX and Wan family configurations.
+
+The reference consumes these as black boxes from diffusers
+(``AutoencoderKLCogVideoX`` / ``AutoencoderKLWan``: causal temporal convs,
+8x spatial + 4x temporal compression, 16 latent channels) and relies on
+``enable_slicing``/``enable_tiling`` for decode memory
+(``cogvideox/train/inference.py:54-55``).  This is a TPU-native rebuild of
+that capability:
+
+  * causal temporal convolutions (frame t never sees frames > t), so
+    arbitrary-length videos stream correctly and the first frame is a pure
+    image code;
+  * config-driven block structure covering both families' published shapes
+    (channel ladders, per-stage spatial/temporal compression, mid-block
+    attention);
+  * memory-bounded decode via spatial tiling with overlap blending — the
+    `enable_tiling` equivalent, implemented as a pure function.
+
+Weight-level parity with the HF checkpoints is handled by
+``blade/convert`` (state-dict mapping) and is validated when checkpoints
+are available; the architecture here follows the published configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "VAEConfig",
+    "VideoEncoder",
+    "VideoDecoder",
+    "CausalVAE",
+    "COGVIDEOX_VAE",
+    "WAN_VAE",
+    "TINY_VAE",
+    "tiled_decode",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    latent_channels: int = 16
+    base_channels: int = 128
+    channel_multipliers: Tuple[int, ...] = (1, 2, 2, 4)
+    layers_per_block: int = 3
+    # Per downsample stage (len = len(multipliers) - 1): spatial / temporal.
+    spatial_down: Tuple[bool, ...] = (True, True, True)
+    temporal_down: Tuple[bool, ...] = (True, True, False)
+    mid_attention: bool = True
+    norm_groups: int = 32
+    scaling_factor: float = 1.0
+    latents_mean: Tuple[float, ...] | None = None
+    latents_std: Tuple[float, ...] | None = None
+
+    @property
+    def spatial_factor(self) -> int:
+        return 2 ** sum(self.spatial_down)
+
+    @property
+    def temporal_factor(self) -> int:
+        return 2 ** sum(self.temporal_down)
+
+
+# CogVideoX: 8x spatial, 4x temporal, scaling 1/1.15258426 (decode divides).
+COGVIDEOX_VAE = VAEConfig(
+    base_channels=128, channel_multipliers=(1, 2, 2, 4),
+    scaling_factor=1.15258426,
+)
+# Wan2.1: dim 96 ladder, per-channel latent normalization before decode
+# (train_wanx_tdm.py applies latents_mean/std; filled by the converter).
+WAN_VAE = VAEConfig(
+    base_channels=96, channel_multipliers=(1, 2, 4, 4),
+    scaling_factor=1.0,
+)
+TINY_VAE = VAEConfig(
+    base_channels=8, channel_multipliers=(1, 2), layers_per_block=1,
+    spatial_down=(True,), temporal_down=(True,), norm_groups=4,
+    mid_attention=False,
+)
+
+
+class CausalConv3d(nn.Module):
+    """3-D conv with causal temporal padding (replicate-first-frame).
+
+    Input/output layout: [B, T, H, W, C].
+    """
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = self.kernel
+        pt = kt - 1
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        if pt:
+            front = jnp.repeat(x[:, :1], pt, axis=1)
+            x = jnp.concatenate([front, x], axis=1)
+        if ph or pw:
+            x = jnp.pad(
+                x, ((0, 0), (0, 0), (ph, ph), (pw, pw), (0, 0)), mode="constant"
+            )
+        return nn.Conv(
+            self.features, kernel_size=self.kernel, strides=self.strides,
+            padding="VALID", dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
+
+
+
+class FrameGroupNorm(nn.Module):
+    """GroupNorm with per-frame statistics (keeps the decoder causal: torch
+    GroupNorm over [C,T,H,W] would mix time)."""
+
+    num_groups: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        y = x.reshape(b * t, h, w, c)
+        y = nn.GroupNorm(num_groups=self.num_groups, dtype=jnp.float32)(y)
+        return y.reshape(b, t, h, w, c)
+
+
+class ResBlock3d(nn.Module):
+    features: int
+    norm_groups: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = FrameGroupNorm(self.norm_groups, name="norm1")(x)
+        h = CausalConv3d(self.features, dtype=self.dtype, name="conv1")(nn.silu(h))
+        h = FrameGroupNorm(self.norm_groups, name="norm2")(h)
+        h = CausalConv3d(self.features, dtype=self.dtype, name="conv2")(nn.silu(h))
+        if x.shape[-1] != self.features:
+            x = nn.Dense(self.features, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="shortcut")(x)
+        return x + h
+
+
+class MidAttention(nn.Module):
+    """Single-head spatial self-attention at the bottleneck (per frame)."""
+
+    norm_groups: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        y = FrameGroupNorm(self.norm_groups)(x)
+        y = y.reshape(b * t, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="q")(y)
+        k = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="k")(y)
+        v = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="v")(y)
+        s = jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32), k.astype(jnp.float32))
+        p = jax.nn.softmax(s / jnp.sqrt(jnp.float32(c)), axis=-1)
+        o = jnp.einsum("bqk,bkc->bqc", p.astype(v.dtype), v)
+        o = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(o)
+        return x + o.reshape(b, t, h, w, c)
+
+
+def _temporal_down(x):
+    """Causal 2x temporal pooling: frame 0 kept, then pairs averaged
+    (preserves the first-frame-is-an-image property of 4k+1 videos)."""
+    first, rest = x[:, :1], x[:, 1:]
+    b, t, h, w, c = rest.shape
+    t2 = t // 2
+    pooled = rest[:, : 2 * t2].reshape(b, t2, 2, h, w, c).mean(axis=2)
+    return jnp.concatenate([first, pooled], axis=1)
+
+
+def _temporal_up(x):
+    """Inverse: first frame kept, others repeated 2x."""
+    first, rest = x[:, :1], x[:, 1:]
+    rest = jnp.repeat(rest, 2, axis=1)
+    return jnp.concatenate([first, rest], axis=1)
+
+
+class VideoEncoder(nn.Module):
+    cfg: VAEConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, video):
+        """[B, T, H, W, C_in] -> (mean, logvar) each [B, T', H', W', Cz]."""
+        c = self.cfg
+        x = CausalConv3d(c.base_channels, dtype=self.dtype, name="conv_in")(video)
+        chans = [c.base_channels * m for m in c.channel_multipliers]
+        for i, ch in enumerate(chans):
+            for j in range(c.layers_per_block):
+                x = ResBlock3d(ch, c.norm_groups, self.dtype,
+                               name=f"down_{i}_res_{j}")(x)
+            if i < len(chans) - 1:
+                if c.spatial_down[i]:
+                    x = CausalConv3d(ch, (3, 3, 3), (1, 2, 2), self.dtype,
+                                     name=f"down_{i}_spatial")(x)
+                if c.temporal_down[i]:
+                    x = _temporal_down(x)
+        x = ResBlock3d(chans[-1], c.norm_groups, self.dtype, name="mid_res_1")(x)
+        if c.mid_attention:
+            x = MidAttention(c.norm_groups, self.dtype, name="mid_attn")(x)
+        x = ResBlock3d(chans[-1], c.norm_groups, self.dtype, name="mid_res_2")(x)
+        x = FrameGroupNorm(c.norm_groups, name="norm_out")(x)
+        x = CausalConv3d(2 * c.latent_channels, dtype=self.dtype,
+                         name="conv_out")(nn.silu(x))
+        mean, logvar = jnp.split(x, 2, axis=-1)
+        return mean, logvar
+
+
+class VideoDecoder(nn.Module):
+    cfg: VAEConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        """[B, T', H', W', Cz] -> [B, T, H, W, C_in] in [-1, 1]."""
+        c = self.cfg
+        chans = [c.base_channels * m for m in c.channel_multipliers]
+        x = CausalConv3d(chans[-1], dtype=self.dtype, name="conv_in")(z)
+        x = ResBlock3d(chans[-1], c.norm_groups, self.dtype, name="mid_res_1")(x)
+        if c.mid_attention:
+            x = MidAttention(c.norm_groups, self.dtype, name="mid_attn")(x)
+        x = ResBlock3d(chans[-1], c.norm_groups, self.dtype, name="mid_res_2")(x)
+        for idx in range(len(chans) - 1, -1, -1):
+            ch = chans[idx]
+            for j in range(c.layers_per_block + 1):
+                x = ResBlock3d(ch, c.norm_groups, self.dtype,
+                               name=f"up_{idx}_res_{j}")(x)
+            if idx > 0:
+                stage = idx - 1
+                if c.temporal_down[stage]:
+                    x = _temporal_up(x)
+                if c.spatial_down[stage]:
+                    b, t, h, w, cc = x.shape
+                    x = jax.image.resize(x, (b, t, 2 * h, 2 * w, cc), "nearest")
+                    x = CausalConv3d(chans[stage], dtype=self.dtype,
+                                     name=f"up_{idx}_spatial")(x)
+        x = FrameGroupNorm(c.norm_groups, name="norm_out")(x)
+        x = CausalConv3d(c.in_channels, dtype=self.dtype, name="conv_out")(
+            nn.silu(x)
+        )
+        return jnp.tanh(x)
+
+
+class CausalVAE(nn.Module):
+    cfg: VAEConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.encoder = VideoEncoder(self.cfg, self.dtype)
+        self.decoder = VideoDecoder(self.cfg, self.dtype)
+
+    def encode(self, video, rng=None):
+        mean, logvar = self.encoder(video)
+        if rng is None:
+            return mean
+        std = jnp.exp(0.5 * jnp.clip(logvar, -30, 20))
+        return mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+
+    def decode(self, z):
+        return self.decoder(z)
+
+    def __call__(self, video, rng=None):
+        z = self.encode(video, rng)
+        return self.decode(z)
+
+
+def tiled_decode(
+    decode_fn,
+    z: jnp.ndarray,
+    *,
+    tile_latent: int = 32,
+    overlap: int = 4,
+    spatial_factor: int = 8,
+):
+    """`enable_tiling` equivalent: decode [B, T, H, W, C] latents in spatial
+    tiles with linear overlap blending; peak activation memory is bounded by
+    the tile size instead of the frame size."""
+    b, t, h, w, c = z.shape
+    stride = tile_latent - overlap
+    rows = []
+    for i0 in range(0, max(h - overlap, 1), stride):
+        cols = []
+        for j0 in range(0, max(w - overlap, 1), stride):
+            tile = z[:, :, i0 : i0 + tile_latent, j0 : j0 + tile_latent]
+            cols.append(decode_fn(tile))
+        rows.append(cols)
+
+    f = spatial_factor
+    ov = overlap * f
+
+    def blend(a, b_, axis):
+        """Linear crossfade of `ov` pixels along axis."""
+        n = a.shape[axis]
+        ramp_shape = [1] * a.ndim
+        ramp_shape[axis] = ov
+        ramp = jnp.linspace(0, 1, ov).reshape(ramp_shape)
+        a_keep = jax.lax.slice_in_dim(a, 0, n - ov, axis=axis)
+        a_edge = jax.lax.slice_in_dim(a, n - ov, n, axis=axis)
+        b_edge = jax.lax.slice_in_dim(b_, 0, ov, axis=axis)
+        b_keep = jax.lax.slice_in_dim(b_, ov, b_.shape[axis], axis=axis)
+        mixed = a_edge * (1 - ramp) + b_edge * ramp
+        return jnp.concatenate([a_keep, mixed, b_keep], axis=axis)
+
+    blended_rows = []
+    for cols in rows:
+        acc = cols[0]
+        for nxt in cols[1:]:
+            acc = blend(acc, nxt, axis=3)
+        blended_rows.append(acc)
+    out = blended_rows[0]
+    for nxt in blended_rows[1:]:
+        out = blend(out, nxt, axis=2)
+    return out
