@@ -1,0 +1,98 @@
+"""Typed configuration tree: one place where model family, video geometry,
+and sparsity settings meet (replaces the reference's four uncoordinated
+config layers — argparse, accelerate YAML, ds_config.json, and module-level
+constants; the ASA latent geometry is *derived* from the video spec instead
+of hand-edited per run, fixing the reference's README-driven constant
+editing workflow)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from blade.attention.asa import ASAConfig
+from blade.models.cogvideox_dit import COGVIDEOX_2B, COGVIDEOX_5B, COGVIDEOX_TINY, CogVideoXConfig
+from blade.models.t5 import T5_TINY, T5_XXL, UMT5_XXL, T5Config
+from blade.models.vae import COGVIDEOX_VAE, TINY_VAE, WAN_VAE, VAEConfig
+from blade.models.wan_dit import WAN_1_3B, WAN_TINY, WanConfig
+
+__all__ = ["VideoSpec", "FamilyPreset", "WAN_480P", "COGVIDEOX_480P",
+           "WAN_TINY_PRESET", "COGVIDEOX_TINY_PRESET", "derive_asa_config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoSpec:
+    num_frames: int
+    height: int
+    width: int
+    fps: int
+
+
+@dataclasses.dataclass(frozen=True)
+class FamilyPreset:
+    name: str  # "wan" | "cogvideox"
+    dit: object
+    vae: VAEConfig
+    text: T5Config
+    max_text_len: int
+    video: VideoSpec
+    # diffusion
+    flow_shift: Optional[float] = None  # wan only
+    snr_shift_scale: float = 1.0  # cog only
+    rescale_betas_zero_snr: bool = True
+    # ASA
+    sample_gap: int = 15
+    min_retain_ratio: float = 0.05
+    max_retain_ratio: float = 0.1
+    joint_text_attention: bool = False  # cog: text participates in self-attn
+
+    def latent_grid(self) -> Tuple[int, int, int]:
+        """(T, H, W) latent token grid: VAE compression x DiT patching."""
+        v, vae = self.video, self.vae
+        t = (v.num_frames - 1) // vae.temporal_factor + 1
+        if self.name == "wan":
+            pt, ph, pw = self.dit.patch_size
+            h = v.height // vae.spatial_factor // ph
+            w = v.width // vae.spatial_factor // pw
+            t = t // pt
+        else:
+            p = self.dit.patch_size
+            h = v.height // vae.spatial_factor // p
+            w = v.width // vae.spatial_factor // p
+        return t, h, w
+
+
+def derive_asa_config(preset: FamilyPreset, mask_mode: str = "energy") -> ASAConfig:
+    t, h, w = preset.latent_grid()
+    return ASAConfig(
+        latent_width=w, latent_height=h, latent_frames=t,
+        text_length=preset.max_text_len if preset.joint_text_attention else 0,
+        sample_gap=preset.sample_gap,
+        min_retain_ratio=preset.min_retain_ratio,
+        max_retain_ratio=preset.max_retain_ratio,
+        mask_mode=mask_mode,
+    )
+
+
+WAN_480P = FamilyPreset(
+    name="wan", dit=WAN_1_3B, vae=WAN_VAE, text=UMT5_XXL, max_text_len=512,
+    video=VideoSpec(81, 480, 832, fps=16), flow_shift=3.0,
+    sample_gap=30, max_retain_ratio=0.2,
+)
+COGVIDEOX_480P = FamilyPreset(
+    name="cogvideox", dit=COGVIDEOX_5B, vae=COGVIDEOX_VAE, text=T5_XXL,
+    max_text_len=226, video=VideoSpec(49, 480, 720, fps=8),
+    sample_gap=15, max_retain_ratio=0.1, joint_text_attention=True,
+)
+
+# CPU-testable end-to-end presets.
+WAN_TINY_PRESET = FamilyPreset(
+    name="wan", dit=WAN_TINY, vae=TINY_VAE, text=T5_TINY, max_text_len=16,
+    video=VideoSpec(5, 32, 32, fps=4), flow_shift=3.0, sample_gap=4,
+    max_retain_ratio=1.0, min_retain_ratio=0.25,
+)
+COGVIDEOX_TINY_PRESET = FamilyPreset(
+    name="cogvideox", dit=COGVIDEOX_TINY, vae=TINY_VAE, text=T5_TINY,
+    max_text_len=16, video=VideoSpec(5, 32, 32, fps=4), sample_gap=4,
+    max_retain_ratio=1.0, min_retain_ratio=0.25, joint_text_attention=True,
+)

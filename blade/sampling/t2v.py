@@ -1,0 +1,179 @@
+"""Full text-to-video pipeline: tokens -> T5 -> 8-step DiT -> VAE -> frames.
+
+The on-device analogue of the reference's diffusers pipeline usage
+(``cogvideox/train/inference.py``, ``wanx/train/inference.py``): the whole
+path runs under jit on the TPU; prompt embeddings may also be precomputed
+offline (the TDM data-free path) and passed directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blade.attention.integration import make_asa_attention_fn
+from blade.config import FamilyPreset, derive_asa_config
+from blade.models.cogvideox_dit import CogVideoXModel
+from blade.models.t5 import T5Encoder
+from blade.models.vae import CausalVAE, tiled_decode
+from blade.models.wan_dit import WanModel
+from blade.sampling.pipeline import sample_cogvideox, sample_wan
+from blade.schedulers.ddpm import make_ddpm_schedule
+
+__all__ = ["T2VPipeline"]
+
+
+@dataclasses.dataclass
+class T2VPipeline:
+    """Bundles modules + params for one family preset."""
+
+    preset: FamilyPreset
+    dit_params: Any
+    vae_params: Any
+    text_params: Optional[Any] = None
+    sparse: bool = True
+    mask_mode: str = "multilevel"  # inference default; "energy" for training
+    dtype: Any = jnp.bfloat16
+    interpret: Optional[bool] = None
+
+    def __post_init__(self):
+        p = self.preset
+        attention_fn = None
+        if self.sparse:
+            attention_fn = make_asa_attention_fn(
+                derive_asa_config(p, self.mask_mode), interpret=self.interpret
+            )
+        kwargs = {} if attention_fn is None else {"attention_fn": attention_fn}
+        if p.name == "wan":
+            self.dit = WanModel(p.dit, dtype=self.dtype, **kwargs)
+        else:
+            self.dit = CogVideoXModel(p.dit, dtype=self.dtype, **kwargs)
+        self.vae = CausalVAE(p.vae)
+        self.text_encoder = T5Encoder(p.text, dtype=self.dtype)
+
+    # ------------------------------------------------------------- helpers
+    def latent_shape(self, batch: int):
+        p = self.preset
+        t, h, w = p.latent_grid()
+        if p.name == "wan":
+            pt, ph, pw = p.dit.patch_size
+            return (batch, p.dit.in_channels, t * pt, h * ph, w * pw)
+        ps = p.dit.patch_size
+        return (batch, t, p.dit.in_channels, h * ps, w * ps)
+
+    def encode_prompts(self, input_ids, attention_mask=None):
+        assert self.text_params is not None, "text encoder weights not loaded"
+        return self.text_encoder.apply(self.text_params, input_ids, attention_mask)
+
+    # ------------------------------------------------------------ sampling
+    def model_fn(self):
+        def fn(latents, timestep, text_embeds, rng):
+            return self.dit.apply(
+                self.dit_params, latents, timestep, text_embeds,
+                attn_kwargs={"rng": rng},
+            )
+
+        return fn
+
+    def sample_latents(
+        self,
+        text_embeds,
+        *,
+        rng,
+        num_steps: int = 8,
+        guidance_scale: float = 1.0,
+        neg_text_embeds=None,
+    ):
+        b = text_embeds.shape[0]
+        noise = jax.random.normal(
+            jax.random.fold_in(rng, 0), self.latent_shape(b), jnp.float32
+        ).astype(self.dtype)
+        if self.preset.name == "wan":
+            return sample_wan(
+                self.model_fn(), noise, text_embeds, rng=rng,
+                num_steps=num_steps, flow_shift=self.preset.flow_shift or 3.0,
+                guidance_scale=guidance_scale, neg_text_embeds=neg_text_embeds,
+            )
+        return sample_cogvideox(
+            self.model_fn(), noise, text_embeds, rng=rng, num_steps=num_steps,
+            guidance_scale=guidance_scale, neg_text_embeds=neg_text_embeds,
+            ddpm_schedule=make_ddpm_schedule(
+                snr_shift_scale=self.preset.snr_shift_scale,
+                rescale_betas_zero_snr=self.preset.rescale_betas_zero_snr,
+            ),
+        )
+
+    def decode_latents(self, latents, *, tiled: bool = False, tile_latent: int = 32):
+        """Model-layout latents -> [B, T, H, W, 3] float in [-1, 1]."""
+        p = self.preset
+        if p.name == "wan":
+            z = jnp.transpose(latents, (0, 2, 3, 4, 1))  # BCTHW -> BTHWC
+        else:
+            z = jnp.transpose(latents, (0, 1, 3, 4, 2))  # BTCHW -> BTHWC
+        z = z.astype(jnp.float32) / p.vae.scaling_factor
+        if p.vae.latents_mean is not None:
+            mean = jnp.asarray(p.vae.latents_mean)
+            std = jnp.asarray(p.vae.latents_std)
+            z = z * std + mean
+        decode = lambda zz: self.vae.apply(self.vae_params, zz, method=self.vae.decode)
+        if tiled:
+            return tiled_decode(
+                decode, z, tile_latent=tile_latent,
+                spatial_factor=p.vae.spatial_factor,
+            )
+        return decode(z)
+
+    def generate(
+        self,
+        text_embeds,
+        *,
+        rng,
+        num_steps: int = 8,
+        guidance_scale: float = 1.0,
+        neg_text_embeds=None,
+        tiled_vae: bool = False,
+    ):
+        latents = self.sample_latents(
+            text_embeds, rng=rng, num_steps=num_steps,
+            guidance_scale=guidance_scale, neg_text_embeds=neg_text_embeds,
+        )
+        return self.decode_latents(latents, tiled=tiled_vae)
+
+    # ---------------------------------------------------------- init utils
+    @classmethod
+    def random_init(
+        cls, preset: FamilyPreset, rng, *, sparse=True, mask_mode="multilevel",
+        dtype=jnp.bfloat16, with_text_encoder=True, interpret=None,
+    ):
+        """Random-weight pipeline (smoke tests / benchmarking without ckpts)."""
+        self = cls(
+            preset=preset, dit_params=None, vae_params=None, text_params=None,
+            sparse=sparse, mask_mode=mask_mode, dtype=dtype, interpret=interpret,
+        )
+        r1, r2, r3 = jax.random.split(rng, 3)
+        lat = jnp.zeros(self.latent_shape(1), dtype)
+        text = jnp.zeros((1, preset.max_text_len, preset.text.d_model), dtype)
+        self.dit_params = self.dit.init(
+            r1, lat, jnp.ones((1,)), text, attn_kwargs={"rng": r1}
+        )
+        t, h, w = preset.latent_grid()
+        if preset.name == "wan":
+            pt, ph, pw = preset.dit.patch_size
+            zt = t * pt
+        else:
+            zt = t
+        sf = preset.vae.spatial_factor
+        z = jnp.zeros(
+            (1, zt, preset.video.height // sf, preset.video.width // sf,
+             preset.vae.latent_channels),
+            jnp.float32,
+        )
+        self.vae_params = self.vae.init(r2, z, method=self.vae.decode)
+        if with_text_encoder:
+            ids = jnp.zeros((1, preset.max_text_len), jnp.int32)
+            self.text_params = self.text_encoder.init(r3, ids)
+        return self

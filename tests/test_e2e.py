@@ -1,0 +1,48 @@
+"""Minimum end-to-end slice: tokens -> T5 -> 8-step DiT (sparse ASA) -> VAE
+-> exported mp4, per family, on CPU with tiny presets (the reference's
+"config 1" CPU-runnable parity target from BASELINE.json)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blade.config import COGVIDEOX_TINY_PRESET, WAN_TINY_PRESET
+from blade.sampling.t2v import T2VPipeline
+from blade.utils.video_io import export_video, save_videos_grid
+
+
+@pytest.mark.parametrize("preset", [WAN_TINY_PRESET, COGVIDEOX_TINY_PRESET],
+                         ids=["wan", "cog"])
+def test_full_text_to_video(preset, tmp_path):
+    pipe = T2VPipeline.random_init(
+        preset, jax.random.PRNGKey(0), sparse=True, mask_mode="energy",
+        dtype=jnp.float32, interpret=True,
+    )
+    ids = jnp.array([[3, 17, 4, 1] + [0] * (preset.max_text_len - 4)])
+    mask = (ids > 0).astype(jnp.int32)
+    text = pipe.encode_prompts(ids, mask)
+    frames = pipe.generate(text, rng=jax.random.PRNGKey(1), num_steps=2)
+    v = preset.video
+    assert frames.shape == (1, v.num_frames, v.height, v.width, 3)
+    arr = np.asarray(frames)
+    assert np.isfinite(arr).all()
+    out = export_video(arr[0], str(tmp_path / "clip.mp4"), fps=v.fps)
+    assert os.path.getsize(out) > 0
+
+
+def test_latent_shapes_match_reference_geometry():
+    from blade.config import COGVIDEOX_480P, WAN_480P
+
+    t, h, w = WAN_480P.latent_grid()
+    assert (t, h, w) == (21, 30, 52)  # 32760 tokens (SURVEY geometry)
+    t, h, w = COGVIDEOX_480P.latent_grid()
+    assert (t, h, w) == (13, 30, 45)  # 17550 video tokens + 226 text
+
+
+def test_grid_export(tmp_path):
+    vids = np.random.uniform(-1, 1, (3, 4, 16, 16, 3)).astype(np.float32)
+    out = save_videos_grid(vids, str(tmp_path / "grid.mp4"), fps=4)
+    assert os.path.getsize(out) > 0
