@@ -1,0 +1,133 @@
+"""Batch text-to-video inference CLI (mirrors the reference
+``cogvideox/train/inference.py`` / ``wanx/train/inference.py``).
+
+Examples:
+  python -m blade.cli.inference --family wan --prompts prompts.txt \
+      --weights /ckpts/wan2.1-t2v-1.3b --lora /ckpts/tdm_lora.npz \
+      --steps 8 --sparse --output_dir outputs/
+  python -m blade.cli.inference --family wan --random-init --tiny \
+      --prompt "a cat surfing" --steps 2          # smoke test, no weights
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args():
+    p = argparse.ArgumentParser(description="BLADE-TPU batch inference")
+    p.add_argument("--family", choices=["wan", "cogvideox"], default="wan")
+    p.add_argument("--prompts", type=str, help="text file, one prompt per line")
+    p.add_argument("--prompt", type=str, help="single prompt")
+    p.add_argument("--weights", type=str, help="HF-layout weights dir")
+    p.add_argument("--lora", type=str, help="TDM LoRA adapter (.npz)")
+    p.add_argument("--output_dir", type=str, default="outputs")
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--guidance_scale", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=8888)
+    p.add_argument("--sparse", action="store_true", default=True)
+    p.add_argument("--dense", dest="sparse", action="store_false")
+    p.add_argument("--mask_mode", choices=["energy", "multilevel"],
+                   default="multilevel")
+    p.add_argument("--tiled_vae", action="store_true")
+    p.add_argument("--random-init", action="store_true",
+                   help="random weights (smoke/benchmark)")
+    p.add_argument("--tiny", action="store_true", help="tiny CPU preset")
+    return p.parse_args()
+
+
+def build_pipeline(args):
+    """Shared by the inference and sample_eval CLIs; tolerates missing
+    optional attributes on foreign arg namespaces."""
+    from blade import config as C
+    from blade.sampling.t2v import T2VPipeline
+
+    args_mask_mode = getattr(args, "mask_mode", "multilevel")
+    if args.tiny:
+        preset = C.WAN_TINY_PRESET if args.family == "wan" else C.COGVIDEOX_TINY_PRESET
+    else:
+        preset = C.WAN_480P if args.family == "wan" else C.COGVIDEOX_480P
+
+    if args.random_init or not args.weights:
+        if not args.random_init:
+            raise SystemExit("--weights required (or pass --random-init)")
+        return T2VPipeline.random_init(
+            preset, jax.random.PRNGKey(0), sparse=args.sparse,
+            mask_mode=args_mask_mode,
+            dtype=jnp.float32 if args.tiny else jnp.bfloat16,
+        )
+
+    from blade.convert.load import load_dit_params, load_text_params
+
+    pipe = T2VPipeline.random_init(
+        preset, jax.random.PRNGKey(0), sparse=args.sparse,
+        mask_mode=args_mask_mode, with_text_encoder=False,
+    )
+    pipe.dit_params = load_dit_params(args.weights, preset)
+    pipe.text_params = load_text_params(args.weights, preset)
+    if args.lora:
+        from blade.training.lora import merge_lora
+
+        lora = dict(np.load(args.lora, allow_pickle=True))["lora"].item()
+        pipe.dit_params = merge_lora(pipe.dit_params, lora)
+    return pipe
+
+
+def tokenize(preset, prompts):
+    """T5/UMT5 tokenization via transformers (slow tokenizer, pure python)."""
+    from transformers import AutoTokenizer
+
+    name = "google/umt5-xxl" if preset.name == "wan" else "google/t5-v1_1-xxl"
+    tok = AutoTokenizer.from_pretrained(name)
+    enc = tok(list(prompts), padding="max_length", truncation=True,
+              max_length=preset.max_text_len, return_tensors="np")
+    return jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"])
+
+
+def main():
+    args = get_args()
+    pipe = build_pipeline(args)
+    preset = pipe.preset
+
+    if args.prompt:
+        prompts = [args.prompt]
+    elif args.prompts:
+        with open(args.prompts) as f:
+            prompts = [l.strip() for l in f if l.strip()]
+    else:
+        raise SystemExit("need --prompt or --prompts")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    from blade.utils.video_io import export_video
+
+    for i, prompt in enumerate(prompts):
+        try:
+            if pipe.text_params is not None and args.random_init:
+                # random-init text encoder: hash tokens deterministically
+                ids = jnp.asarray(
+                    np.random.default_rng(abs(hash(prompt)) % 2**31)
+                    .integers(1, 100, (1, preset.max_text_len))
+                )
+                mask = jnp.ones_like(ids)
+            else:
+                ids, mask = tokenize(preset, [prompt])
+            text = pipe.encode_prompts(ids, mask)
+            frames = pipe.generate(
+                text, rng=jax.random.PRNGKey(args.seed + i),
+                num_steps=args.steps, guidance_scale=args.guidance_scale,
+                tiled_vae=args.tiled_vae,
+            )
+            path = os.path.join(args.output_dir, f"video_{i:04d}.mp4")
+            out = export_video(np.asarray(frames[0]), path, fps=preset.video.fps)
+            print(f"[{i + 1}/{len(prompts)}] {out}")
+        except Exception as e:  # per-prompt isolation (reference behavior)
+            print(f"prompt {i} failed: {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""TDM distillation training CLI (mirrors the reference
+``train_cogvideo_tdm.py`` / ``train_wanx_tdm.py`` launch surface).
+
+Data-free: consumes a directory of precomputed prompt embeddings (see
+``blade.cli.process_prompts``).  Example:
+
+  python -m blade.cli.train --family wan --weights /ckpts/wan \
+      --prompt_embeds prompts/ --max_train_steps 300 --batch_size 5 \
+      --k_step 8 --cfg 5.0 --eta 0.9 --lambda_reg 0 \
+      --checkpointing_steps 50 --output_dir runs/wan_tdm
+
+  python -m blade.cli.train --family wan --tiny --random-init \
+      --max_train_steps 2 --batch_size 2 --output_dir /tmp/tdm  # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args():
+    p = argparse.ArgumentParser(description="BLADE-TPU TDM distillation")
+    p.add_argument("--family", choices=["wan", "cogvideox"], default="wan")
+    p.add_argument("--weights", type=str)
+    p.add_argument("--prompt_embeds", type=str,
+                   help="dir with individual_embeddings/*.npy + uncond.npy")
+    p.add_argument("--output_dir", type=str, required=True)
+    # TDM hparams (reference train_tdm_1.sh defaults)
+    p.add_argument("--k_step", type=int, default=8)
+    p.add_argument("--eta", type=float, default=0.9)
+    p.add_argument("--cfg", type=float, default=3.5)
+    p.add_argument("--lambda_reg", type=float, default=0.5)
+    p.add_argument("--learning_rate_g", type=float, default=1e-4)
+    p.add_argument("--learning_rate_fake", type=float, default=5e-4)
+    p.add_argument("--adam_beta1", type=float, default=0.0)
+    p.add_argument("--adam_beta2", type=float, default=0.95)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--rank", type=int, default=64)
+    p.add_argument("--lora_alpha", type=float, default=64)
+    p.add_argument("--batch_size", type=int, default=5)
+    p.add_argument("--max_train_steps", type=int, default=300)
+    p.add_argument("--use_sparsity", action="store_true", default=True)
+    p.add_argument("--dense", dest="use_sparsity", action="store_false")
+    # checkpointing
+    p.add_argument("--checkpointing_steps", type=int, default=50)
+    p.add_argument("--checkpoints_total_limit", type=int, default=5)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None,
+                   help='"latest" or a step number')
+    # mesh
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--random-init", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    from blade import config as C
+    from blade.attention.integration import make_asa_attention_fn
+    from blade.config import derive_asa_config
+    from blade.models.cogvideox_dit import CogVideoXModel
+    from blade.models.wan_dit import WanModel
+    from blade.parallel import mesh as M
+    from blade.schedulers import ddpm as D
+    from blade.schedulers import unipc_flow as F
+    from blade.training import tdm
+    from blade.training.checkpointing import CheckpointManager
+
+    if args.tiny:
+        preset = C.WAN_TINY_PRESET if args.family == "wan" else C.COGVIDEOX_TINY_PRESET
+        dtype = jnp.float32
+    else:
+        preset = C.WAN_480P if args.family == "wan" else C.COGVIDEOX_480P
+        dtype = jnp.bfloat16
+
+    attention_fn = None
+    if args.use_sparsity:
+        attention_fn = make_asa_attention_fn(derive_asa_config(preset, "energy"))
+    kwargs = {} if attention_fn is None else {"attention_fn": attention_fn}
+    if preset.name == "wan":
+        model = WanModel(preset.dit, dtype=dtype, **kwargs)
+        family = tdm.flow_family(
+            F.flow_training_sigmas(1000, preset.flow_shift or 3.0)
+        )
+    else:
+        model = CogVideoXModel(preset.dit, dtype=dtype, **kwargs)
+        family = tdm.ddpm_family(D.make_ddpm_schedule(
+            snr_shift_scale=preset.snr_shift_scale,
+            rescale_betas_zero_snr=preset.rescale_betas_zero_snr,
+        ))
+
+    t, h, w = preset.latent_grid()
+    if preset.name == "wan":
+        pt, ph, pw = preset.dit.patch_size
+        lat_shape = (args.batch_size, preset.dit.in_channels, t * pt, h * ph, w * pw)
+    else:
+        p_ = preset.dit.patch_size
+        lat_shape = (args.batch_size, t, preset.dit.in_channels, h * p_, w * p_)
+
+    rng = jax.random.PRNGKey(args.seed)
+    text_dim = preset.text.d_model
+    dummy_text = jnp.zeros((args.batch_size, preset.max_text_len, text_dim), dtype)
+
+    if args.random_init or not args.weights:
+        if not args.random_init:
+            raise SystemExit("--weights required (or --random-init)")
+        base_params = model.init(
+            rng, jnp.zeros(lat_shape, dtype), jnp.ones((args.batch_size,)),
+            dummy_text, attn_kwargs={"rng": rng},
+        )
+    else:
+        from blade.convert.load import load_dit_params
+
+        base_params = load_dit_params(args.weights, preset)
+
+    cfg = tdm.TDMConfig(
+        k_step=args.k_step, eta=args.eta, cfg=args.cfg,
+        lambda_reg=args.lambda_reg, lr_generator=args.learning_rate_g,
+        lr_fake=args.learning_rate_fake, adam_b1=args.adam_beta1,
+        adam_b2=args.adam_beta2, max_grad_norm=args.max_grad_norm,
+        lora_rank=args.rank, lora_alpha=args.lora_alpha,
+        use_weighting_factor=preset.name == "cogvideox",
+        fake_loss_skip_threshold=2.0 if preset.name == "wan" else None,
+    )
+
+    def apply_fn(p, x, tt, txt, r):
+        return model.apply(p, x, tt, txt, attn_kwargs={"rng": r})
+
+    state = tdm.create_tdm_state(jax.random.fold_in(rng, 1), base_params, cfg)
+    mesh = M.make_mesh(dp=args.dp, fsdp=args.fsdp, tp=args.tp)
+    if args.dp * args.fsdp * args.tp > 1:
+        state = state.replace(
+            base_params=M.shard_params(state.base_params, mesh),
+            lora_g=M.replicate(state.lora_g, mesh),
+            lora_f=M.replicate(state.lora_f, mesh),
+            opt_g=M.replicate(state.opt_g, mesh),
+            opt_f=M.replicate(state.opt_f, mesh),
+        )
+
+    ckpt = CheckpointManager(
+        os.path.join(args.output_dir, "checkpoints"),
+        max_to_keep=args.checkpoints_total_limit,
+    )
+    if args.resume_from_checkpoint:
+        step = (None if args.resume_from_checkpoint == "latest"
+                else int(args.resume_from_checkpoint))
+        state = ckpt.restore(state, step)
+        print(f"resumed from step {int(state.step)}")
+
+    # Prompt embedding source: precomputed dir (data-free) or random smoke.
+    def load_batch(step_idx, r):
+        if args.prompt_embeds:
+            base = args.prompt_embeds
+            embeds = []
+            idx0 = (jax.process_index() * 600 + step_idx * args.batch_size)
+            files = sorted(
+                os.listdir(os.path.join(base, "individual_embeddings"))
+            )
+            for i in range(args.batch_size):
+                f = files[(idx0 + i) % len(files)]
+                embeds.append(
+                    np.load(os.path.join(base, "individual_embeddings", f))
+                )
+            text = jnp.asarray(np.concatenate(embeds, 0), dtype)
+            uncond = jnp.asarray(
+                np.load(os.path.join(base, "uncond.npy")), dtype
+            )
+            uncond = jnp.broadcast_to(uncond, text.shape)
+        else:
+            text = jax.random.normal(
+                jax.random.fold_in(r, 1),
+                (args.batch_size, preset.max_text_len, text_dim), dtype,
+            )
+            uncond = jnp.zeros_like(text)
+        noise = jax.random.normal(jax.random.fold_in(r, 2), lat_shape, dtype)
+        return {"text_embeds": text, "uncond_embeds": uncond, "noise": noise}
+
+    train_step = jax.jit(tdm.make_tdm_train_step(apply_fn, family, cfg))
+    print(f"training {args.max_train_steps} steps, batch {args.batch_size}, "
+          f"mesh dp={args.dp} fsdp={args.fsdp} tp={args.tp}")
+    t0 = time.time()
+    steps_done = 0
+    for step_idx in range(int(state.step), args.max_train_steps):
+        r = jax.random.fold_in(rng, 1000 + step_idx)
+        batch = load_batch(step_idx, r)
+        if args.dp * args.fsdp * args.tp > 1:
+            batch = M.shard_batch(batch, mesh)
+        state, metrics = train_step(state, batch, r)
+        steps_done += 1
+        lf, lg = float(metrics["loss_fake"]), float(metrics["loss_du"])
+        print(f"step {step_idx}: loss_fake={lf:.4f} loss_du={lg:.4f} "
+              f"({(time.time() - t0) / steps_done:.1f}s/step)")
+        if (step_idx + 1) % args.checkpointing_steps == 0:
+            ckpt.save(step_idx + 1, state)
+            print(f"saved checkpoint @ {step_idx + 1}")
+
+    # Final: export merged-ready LoRA adapter.
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = os.path.join(args.output_dir, "tdm_lora.npz")
+    np.savez(out, lora=np.asarray(
+        jax.tree_util.tree_map(np.asarray, state.lora_g), dtype=object
+    ))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""CLI + eval suite tests (tiny presets, subprocess-free via sys.argv)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def _run_cli(monkeypatch, module, argv):
+    monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+    module.main()
+
+
+def test_process_prompts_and_train_data_free(tmp_path, monkeypatch):
+    prompts_file = tmp_path / "prompts.txt"
+    prompts_file.write_text("a cat\na dog\na bird\n")
+    out = tmp_path / "emb"
+    from blade.cli import process_prompts
+
+    _run_cli(monkeypatch, process_prompts, [
+        "--input_file", str(prompts_file), "--output_dir", str(out),
+        "--family", "wan", "--tiny", "--random-init", "--batch_size", "2",
+    ])
+    assert (out / "uncond.npy").exists()
+    assert (out / "fixed.npy").exists()
+    assert (out / "negative.npy").exists()
+    files = os.listdir(out / "individual_embeddings")
+    assert len(files) == 3
+    emb = np.load(out / "individual_embeddings" / "0.npy")
+    assert emb.ndim == 3 and emb.shape[0] == 1
+
+    # Rename uncond to the layout the trainer expects and run 1 TDM step on it.
+    from blade.cli import train
+
+    _run_cli(monkeypatch, train, [
+        "--family", "wan", "--tiny", "--random-init",
+        "--prompt_embeds", str(out),
+        "--max_train_steps", "1", "--batch_size", "2",
+        "--checkpointing_steps", "10",
+        "--output_dir", str(tmp_path / "run"),
+    ])
+    assert (tmp_path / "run" / "tdm_lora.npz").exists()
+
+
+def test_sample_eval_cli(tmp_path, monkeypatch):
+    prompts_file = tmp_path / "p.txt"
+    prompts_file.write_text("a red cube\na blue ball\n")
+    out = tmp_path / "eval_out"
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "output_dir": str(out), "num_videos_per_prompt": 1,
+        "batch_size": 1, "num_steps": 2,
+    }))
+    from blade.cli import sample_eval
+
+    _run_cli(monkeypatch, sample_eval, [
+        "--config", str(cfg), "--prompts", str(prompts_file),
+        "--family", "wan", "--tiny", "--random-init",
+    ])
+    vids = os.listdir(out)
+    assert len(vids) == 2
+    assert any(v.startswith("a red cube-0") for v in vids)
+
+    # skip-existing resume: rerun generates nothing new
+    from blade.evalsuite.sampler import SamplerConfig, build_tasks
+
+    tasks = build_tasks(
+        ["a red cube", "a blue ball"],
+        SamplerConfig(output_dir=str(out), num_videos_per_prompt=1),
+    )
+    assert tasks == []
+
+
+def test_score_aggregation(tmp_path):
+    results = {
+        "subject_consistency": [0.95, {}],
+        "aesthetic_quality": [0.6, {}],
+        "overall_consistency": [0.27, {}],
+    }
+    for k, v in results.items():
+        with open(tmp_path / f"{k}_eval_results.json", "w") as f:
+            json.dump({k: v}, f)
+    from blade.evalsuite.aggregate import final_scores, load_results_dir
+
+    raw = load_results_dir(str(tmp_path))
+    assert raw["subject consistency"] == 0.95
+    scores = final_scores(raw)
+    assert 0 <= scores["total"] <= 1
+    assert scores["quality"] > 0
+    # perfect raw scores give ~1.0 total
+    perfect = {k: 1.0 for k in raw}
+    s2 = final_scores(perfect)
+    assert s2["total"] > 0.99
