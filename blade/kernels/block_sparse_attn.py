@@ -52,16 +52,22 @@ NEG_INF = -1e30
 
 DEFAULT_Q_BLOCK = 128
 KV_BLOCK = 128
+# Dense path uses wide tiles: the MXU/pipeline overhead of 128x128 steps
+# dominates otherwise (measured 15 -> ~150 TFLOP/s on v5e with 512-tiles).
+DENSE_Q_TILE = 512
+DENSE_KV_TILE = 512
+NBUF = 4  # sparse-gather DMA pipeline depth (group fetches)
+GROUP = 4  # 128-blocks gathered/attended per iteration
 
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _tail_mask(s, blk, kv_valid_len, q_rows):
+def _tail_mask(s, start_col, kv_valid_len):
     """Mask score columns beyond the valid key length (padded tail)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (q_rows, KV_BLOCK), 1)
-    return jnp.where(blk * KV_BLOCK + col < kv_valid_len, s, NEG_INF)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(start_col + col < kv_valid_len, s, NEG_INF)
 
 
 # ---------------------------------------------------------------------------
@@ -89,7 +95,7 @@ def _dense_fwd_kernel(
     )
     s = s * scale + bias
     if kv_valid_len < kv_pad_len:
-        s = _tail_mask(s, j, kv_valid_len, q_block)
+        s = _tail_mask(s, j * kb.shape[0], kv_valid_len)
 
     m_prev = m_scr[:, 0:1]
     l_prev = l_scr[:, 0:1]
@@ -136,7 +142,7 @@ def _dense_dq_kernel(
     )
     s = s * scale + bias
     if kv_valid_len < kv_pad_len:
-        s = _tail_mask(s, j, kv_valid_len, q_block)
+        s = _tail_mask(s, j * kb.shape[0], kv_valid_len)
     p = jnp.exp(s - lse)
     dov = jax.lax.dot_general(
         do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -176,7 +182,7 @@ def _dense_dkv_kernel(
     )
     s = s * scale + bias
     if kv_valid_len < kv_pad_len:
-        s = _tail_mask(s, ki, kv_valid_len, q_block)
+        s = _tail_mask(s, ki * kb.shape[0], kv_valid_len)
     p = jnp.exp(s - lse)
     dv_scr[...] += jax.lax.dot_general(
         p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
@@ -205,76 +211,108 @@ def _sparse_fwd_kernel(
     cnt_ref,  # scalar prefetch [BH, nQt] int32
     idx_hbm,  # [BH, nQt, 8, maxK] int32 (HBM, row-replicated tiles)
     q_ref,  # [1, q_block, D]
-    k_ref,  # ANY
-    v_ref,  # ANY
+    kv_ref,  # ANY: packed [BH, nK, 2*KV_BLOCK, D] (K rows then V rows)
     o_ref,
     lse_ref,  # [1, 8, q_block]
-    idxbuf,  # SMEM (8, maxK) int32 (row 0 = data; 8 rows for tiling)
-    kbuf, vbuf, sem, idx_sem,
+    idxbuf,  # SMEM (2, 8, maxK) int32 (double-buffered across grid steps)
+    kvbuf,  # VMEM (NBUF, segs, 2*seg_rows, D)
+    sem, idx_sem,
     *, scale, bias, kv_valid_len, kv_pad_len, q_block,
+    seg_rows=KV_BLOCK, segs=GROUP,
 ):
+    """Grouped block-gather flash forward.
+
+    GROUP mask-selected 128-blocks are fetched per iteration (one DMA each,
+    K and V packed together) and attended as a single GROUP*128-wide MXU
+    tile; invalid lanes (count remainder, padded tails) are masked.  Index
+    lists for the *next* grid step are DMA'd while the current one computes.
+    """
     bh = pl.program_id(0)
     qi = pl.program_id(1)
+    n_qt = pl.num_programs(1)
     count = cnt_ref[bh, qi]
+    iters = pl.cdiv(count, segs)
+    flat = bh * n_qt + qi
+    par = jax.lax.rem(flat, 2)
+    nxt_par = jax.lax.rem(flat + 1, 2)
 
-    idx_dma = pltpu.make_async_copy(idx_hbm.at[bh, qi], idxbuf, idx_sem)
-    idx_dma.start()
-    idx_dma.wait()
-
-    def k_copy(slot, t):
-        blk = idxbuf[0, t]
+    def idx_copy(buf_par, b_i, q_i):
         return pltpu.make_async_copy(
-            k_ref.at[bh, pl.ds(blk * KV_BLOCK, KV_BLOCK), :], kbuf.at[slot], sem.at[slot, 0]
+            idx_hbm.at[b_i, q_i], idxbuf.at[buf_par], idx_sem.at[buf_par]
         )
 
-    def v_copy(slot, t):
-        blk = idxbuf[0, t]
+    @pl.when(flat == 0)
+    def _first_list():
+        idx_copy(par, bh, qi).start()
+    idx_copy(par, bh, qi).wait()
+    # Prefetch the next step's list while this step computes.
+    nxt_qi = jax.lax.rem(qi + 1, n_qt)
+    nxt_bh = bh + jnp.where(qi + 1 == n_qt, 1, 0)
+
+    @pl.when(nxt_bh < pl.num_programs(0))
+    def _next_list():
+        idx_copy(nxt_par, nxt_bh, nxt_qi).start()
+
+    def kv_copy(slot, t, u):
+        blk = idxbuf[par, 0, segs * t + u]
         return pltpu.make_async_copy(
-            v_ref.at[bh, pl.ds(blk * KV_BLOCK, KV_BLOCK), :], vbuf.at[slot], sem.at[slot, 1]
+            kv_ref.at[bh, blk], kvbuf.at[slot, u], sem.at[slot, u]
         )
 
-    @pl.when(count > 0)
-    def _warmup():
-        k_copy(0, 0).start()
-        v_copy(0, 0).start()
+    # Deep DMA pipeline: up to NBUF group-fetches in flight.
+    def prefetch(t):
+        @pl.when(t < iters)
+        def _():
+            slot = jax.lax.rem(t, NBUF)
+            for u in range(segs):
+                kv_copy(slot, t, u).start()
+
+    for t0 in range(NBUF):
+        prefetch(t0)
 
     q = q_ref[0]
+    d = q_ref.shape[-1]
+    width = segs * seg_rows
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_block, width), 1)
+    lane = col % seg_rows
+    grp = col // seg_rows
 
     def body(t, carry):
         m, l, acc = carry
-        slot = jax.lax.rem(t, 2)
-        nxt = jax.lax.rem(t + 1, 2)
-
-        @pl.when(t + 1 < count)
-        def _prefetch():
-            k_copy(nxt, t + 1).start()
-            v_copy(nxt, t + 1).start()
-
-        k_copy(slot, t).wait()
-        v_copy(slot, t).wait()
-        kb = kbuf[slot]
+        slot = jax.lax.rem(t, NBUF)
+        for u in range(segs):
+            kv_copy(slot, t, u).wait()
+        kv = kvbuf[slot]  # [segs, 2*seg_rows, D]
+        kb = kv[:, :seg_rows, :].reshape(width, d)
+        vb = kv[:, seg_rows:, :].reshape(width, d)
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s * scale + bias
+        ok = (segs * t + grp) < count
         if kv_valid_len < kv_pad_len:
-            s = _tail_mask(s, idxbuf[0, t], kv_valid_len, q_block)
+            src_col = jnp.zeros((q_block, width), jnp.int32)
+            for u in range(segs):
+                blk_u = idxbuf[par, 0, segs * t + u]
+                src_col = jnp.where(grp == u, blk_u * seg_rows + lane, src_col)
+            ok = ok & (src_col < kv_valid_len)
+        s = jnp.where(ok, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p.astype(vbuf.dtype), vbuf[slot], (((1,), (0,)), ((), ())),
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc = acc * alpha + pv
+        prefetch(t + NBUF)
         return m_new, l, acc
 
-    d = q_ref.shape[-1]
     m0 = jnp.full((q_block, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((q_block, 1), jnp.float32)
     acc0 = jnp.zeros((q_block, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, count, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, iters, body, (m0, l0, acc0))
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
@@ -338,7 +376,7 @@ def _sparse_dq_kernel(
         )
         s = s * scale + bias
         if kv_valid_len < kv_pad_len:
-            s = _tail_mask(s, idxbuf[0, t], kv_valid_len, q_block)
+            s = _tail_mask(s, idxbuf[0, t] * KV_BLOCK, kv_valid_len)
         p = jnp.exp(s - lse)
         dov = jax.lax.dot_general(
             do, vbuf[slot], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -434,7 +472,7 @@ def _sparse_dkv_kernel(
         )
         s = s * scale + bias
         if kv_valid_len < kv_pad_len:
-            s = _tail_mask(s, ki, kv_valid_len, q_block)
+            s = _tail_mask(s, ki * KV_BLOCK, kv_valid_len)
         p = jnp.exp(s - lse)
         dv_part = jax.lax.dot_general(
             p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
@@ -468,21 +506,32 @@ def _common_kwargs(scale, bias, kv_valid_len, kv_pad_len, q_block):
     )
 
 
-def _fwd_call(q, k, v, lists, *, scale, bias, kv_valid_len, q_block, interpret):
+def _dense_tiles(lq, lk):
+    """(q_tile, kv_tile) for the dense kernels: wide when the sequence
+    allows, 128-aligned otherwise."""
+    def pick(n, pref):
+        padded128 = -(-n // 128) * 128
+        return pref if padded128 >= pref else padded128
+
+    return pick(lq, DENSE_Q_TILE), pick(lk, DENSE_KV_TILE)
+
+
+def _fwd_call(q, k, v, lists, *, scale, bias, kv_valid_len, q_block, kv_tile,
+              interpret):
     bh, lq, d = q.shape
     lk_pad = k.shape[1]
     n_qt = lq // q_block
-    n_kt = lk_pad // KV_BLOCK
     kw = _common_kwargs(scale, bias, kv_valid_len, lk_pad, q_block)
 
     if lists is None:  # dense
+        n_kt = lk_pad // kv_tile
         out, lse8 = pl.pallas_call(
             functools.partial(_dense_fwd_kernel, **kw),
             grid=(bh, n_qt, n_kt),
             in_specs=[
                 pl.BlockSpec((1, q_block, d), lambda b, i, j: (b, i, 0)),
-                pl.BlockSpec((1, KV_BLOCK, d), lambda b, i, j: (b, j, 0)),
-                pl.BlockSpec((1, KV_BLOCK, d), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, kv_tile, d), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, kv_tile, d), lambda b, i, j: (b, j, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, q_block, d), lambda b, i, j: (b, i, 0)),
@@ -505,9 +554,15 @@ def _fwd_call(q, k, v, lists, *, scale, bias, kv_valid_len, q_block, interpret):
             ),
         )(q, k, v)
         return out, lse8[:, 0, :]
+    n_kt = lk_pad // KV_BLOCK
 
     kv_idx, kv_cnt = lists
     max_k = kv_idx.shape[-1]
+    # Pack K and V per 128-block so each gather is a single DMA.
+    kv_packed = jnp.concatenate(
+        [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
+        axis=2,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh, n_qt),
@@ -515,18 +570,16 @@ def _fwd_call(q, k, v, lists, *, scale, bias, kv_valid_len, q_block, interpret):
             pl.BlockSpec(memory_space=pltpu.HBM),  # idx lists: HBM (row DMAs)
             pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
             pl.BlockSpec((1, 8, q_block), lambda b, i, *_: (b, 0, i)),
         ],
         scratch_shapes=[
-            pltpu.SMEM((8, max_k), jnp.int32),
-            pltpu.VMEM((2, KV_BLOCK, d), k.dtype),
-            pltpu.VMEM((2, KV_BLOCK, d), v.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2, 8, max_k), jnp.int32),
+            pltpu.VMEM((NBUF, GROUP, 2 * KV_BLOCK, d), k.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out, lse8 = pl.pallas_call(
@@ -543,18 +596,18 @@ def _fwd_call(q, k, v, lists, *, scale, bias, kv_valid_len, q_block, interpret):
             + 2 * bh * n_qt * max_k * KV_BLOCK * d * k.dtype.itemsize,
             transcendentals=bh * lq * max_k * KV_BLOCK,
         ),
-    )(kv_cnt, kv_idx, q, k, v)
+    )(kv_cnt, kv_idx, q, kv_packed)
     return out, lse8[:, 0, :]
 
 
 def _bwd_call(
     q, k, v, out, lse, g_out, g_lse, lists, t_lists,
-    *, scale, bias, kv_valid_len, q_block, interpret
+    *, scale, bias, kv_valid_len, q_block, kv_tile, interpret
 ):
     bh, lq, d = q.shape
     lk_pad = k.shape[1]
     n_qt = lq // q_block
-    n_kt = lk_pad // KV_BLOCK
+    n_kt = lk_pad // (kv_tile if lists is None else KV_BLOCK)
     kw = _common_kwargs(scale, bias, kv_valid_len, lk_pad, q_block)
 
     delta = jnp.sum(g_out.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
@@ -571,7 +624,7 @@ def _bwd_call(
 
     stats_spec = pl.BlockSpec((1, 8, q_block), lambda b, i, j: (b, 0, i))
     qtile_spec = pl.BlockSpec((1, q_block, d), lambda b, i, j: (b, i, 0))
-    ktile_spec = pl.BlockSpec((1, KV_BLOCK, d), lambda b, i, j: (b, j, 0))
+    ktile_spec = pl.BlockSpec((1, kv_tile, d), lambda b, i, j: (b, j, 0))
 
     if lists is None:  # dense backward
         dq = pl.pallas_call(
@@ -587,7 +640,7 @@ def _bwd_call(
             interpret=interpret,
         )(q, g_out, rep8(lse_f), rep8(delta), rep8(g_lse), k, v)
 
-        kblk_spec = pl.BlockSpec((1, KV_BLOCK, d), lambda b, i, j: (b, i, 0))
+        kblk_spec = pl.BlockSpec((1, kv_tile, d), lambda b, i, j: (b, i, 0))
         qj_spec = pl.BlockSpec((1, q_block, d), lambda b, i, j: (b, j, 0))
         statsj_spec = pl.BlockSpec((1, 8, q_block), lambda b, i, j: (b, 0, j))
         dk, dv = pl.pallas_call(
@@ -603,8 +656,8 @@ def _bwd_call(
                 jax.ShapeDtypeStruct((bh, lk_pad, d), v.dtype),
             ],
             scratch_shapes=[
-                pltpu.VMEM((KV_BLOCK, d), jnp.float32),
-                pltpu.VMEM((KV_BLOCK, d), jnp.float32),
+                pltpu.VMEM((kv_tile, d), jnp.float32),
+                pltpu.VMEM((kv_tile, d), jnp.float32),
             ],
             interpret=interpret,
         )(k, v, q, g_out, rep8(lse_f), rep8(delta), rep8(g_lse))
@@ -714,33 +767,36 @@ def _lists_from_mask(mask):
     return lists, t_lists
 
 
-def _attn_core_fwd(q, k, v, mask, scale, bias, q_block, kv_valid_len, interpret):
+def _attn_core_fwd(q, k, v, mask, scale, bias, q_block, kv_tile, kv_valid_len,
+                   interpret):
     lists, _ = _lists_from_mask(mask)
     out, lse = _fwd_call(
         q, k, v, lists,
         scale=scale, bias=bias, kv_valid_len=kv_valid_len, q_block=q_block,
-        interpret=interpret,
+        kv_tile=kv_tile, interpret=interpret,
     )
     return (out, lse), (q, k, v, mask, out, lse)
 
 
-def _attn_core_bwd(scale, bias, q_block, kv_valid_len, interpret, res, g):
+def _attn_core_bwd(scale, bias, q_block, kv_tile, kv_valid_len, interpret, res, g):
     q, k, v, mask, out, lse = res
     g_out, g_lse = g
     lists, t_lists = _lists_from_mask(mask)
     dq, dk, dv = _bwd_call(
         q, k, v, out, lse, g_out, g_lse, lists, t_lists,
         scale=scale, bias=bias, kv_valid_len=kv_valid_len, q_block=q_block,
-        interpret=interpret,
+        kv_tile=kv_tile, interpret=interpret,
     )
     # Boolean masks are non-differentiable: their cotangent is float0.
     dmask = None if mask is None else np.zeros(mask.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, dmask
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _attn_with_lse(q, k, v, mask, scale, bias, q_block, kv_valid_len, interpret):
-    (out, lse), _ = _attn_core_fwd(q, k, v, mask, scale, bias, q_block, kv_valid_len, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _attn_with_lse(q, k, v, mask, scale, bias, q_block, kv_tile, kv_valid_len,
+                   interpret):
+    (out, lse), _ = _attn_core_fwd(q, k, v, mask, scale, bias, q_block, kv_tile,
+                                   kv_valid_len, interpret)
     return out, lse
 
 
@@ -780,8 +836,13 @@ def block_sparse_attention(
     if interpret is None:
         interpret = _interpret_default()
 
+    if block_mask is None:
+        # Dense path: wide tiles (pipeline-efficient); padding masked below.
+        q_block, kv_tile = _dense_tiles(lq, lk)
+    else:
+        kv_tile = KV_BLOCK
     lq_pad = _pad_len(lq, q_block)
-    lk_pad = _pad_len(lk, KV_BLOCK)
+    lk_pad = _pad_len(lk, kv_tile)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0))) if lq_pad != lq else q
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0))) if lk_pad != lk else k
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0))) if lk_pad != lk else v
@@ -797,7 +858,8 @@ def block_sparse_attention(
         assert n_qt_mask == lq_pad // q_block, (n_qt_mask, lq_pad, q_block)
         mask = block_mask.reshape(b * h, n_qt_mask, block_mask.shape[-1])
 
-    out, lse = _attn_with_lse(qp, kp, vp, mask, scale, bias, q_block, lk, interpret)
+    out, lse = _attn_with_lse(qp, kp, vp, mask, scale, bias, q_block, kv_tile,
+                              lk, interpret)
     out = out.reshape(b, h, lq_pad, d)[:, :, :lq]
     lse = lse.reshape(b, h, lq_pad)[:, :, :lq]
     return out, lse

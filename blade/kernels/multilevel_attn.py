@@ -39,8 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 from blade.attention.masks import mask_to_block_lists, pad_to_block_multiple
 from blade.kernels.block_sparse_attn import (
     KV_BLOCK,
+    NBUF,
     NEG_INF,
     _interpret_default,
+    _sparse_fwd_kernel,
     _tile_lists,
     block_sparse_attention,
 )
@@ -49,98 +51,83 @@ from blade.kernels.ref_attention import mean_pool_kv, merge_attention
 __all__ = ["multilevel_attention", "pooled_level_attention"]
 
 
-def _grouped_fwd_kernel(
-    cnt_ref,  # [BH, nQt] int32 (SMEM prefetch): # selected original blocks
+def _vmem_level_kernel(
+    cnt_ref,  # [BH, nQt] int32 (SMEM prefetch)
     idx_hbm,  # [BH, nQt, 8, maxK] int32 (HBM)
     q_ref,  # [1, q_block, D]
-    k_ref,  # ANY: pooled K [BH, Lp, D]
-    v_ref,  # ANY: pooled V
+    kv_ref,  # [1, nB, 2*seg_rows, D] VMEM (whole pooled pyramid, per bh)
     o_ref,
-    lse_ref,  # [1, 8, q_block]
-    idxbuf,  # SMEM (8, maxK)
-    kbuf,  # VMEM (2, KV_BLOCK, D)
-    vbuf,
-    sem,  # DMA (2, 2, group)
+    lse_ref,
+    idxbuf,  # SMEM (2, 8, maxK)
     idx_sem,
-    *,
-    scale: float,
-    bias: float,
-    group: int,
-    seg_rows: int,
-    pooled_valid_len: int,
-    q_block: int,
+    *, scale, bias, pooled_valid_len, q_block, seg_rows, segs,
 ):
+    """Pooled-level pass with the entire per-(batch,head) K/V pyramid
+    resident in VMEM: segment gathers become register copies instead of
+    DMAs (levels 4 and 8 fit comfortably; level 2 does not)."""
     bh = pl.program_id(0)
     qi = pl.program_id(1)
+    n_qt = pl.num_programs(1)
     count = cnt_ref[bh, qi]
-    iters = pl.cdiv(count, group)
+    iters = pl.cdiv(count, segs)
+    flat = bh * n_qt + qi
+    par = jax.lax.rem(flat, 2)
+    nxt_par = jax.lax.rem(flat + 1, 2)
 
-    idx_dma = pltpu.make_async_copy(idx_hbm.at[bh, qi], idxbuf, idx_sem)
-    idx_dma.start()
-    idx_dma.wait()
-
-    def seg_copy(ref, buf, slot, t, g, which):
-        blk = idxbuf[0, t * group + g]
+    def idx_copy(buf_par, b_i, q_i):
         return pltpu.make_async_copy(
-            ref.at[bh, pl.ds(blk * seg_rows, seg_rows), :],
-            buf.at[slot, pl.ds(g * seg_rows, seg_rows), :],
-            sem.at[slot, which, g],
+            idx_hbm.at[b_i, q_i], idxbuf.at[buf_par], idx_sem.at[buf_par]
         )
 
-    def start_all(slot, t):
-        for g in range(group):
-            seg_copy(k_ref, kbuf, slot, t, g, 0).start()
-            seg_copy(v_ref, vbuf, slot, t, g, 1).start()
+    @pl.when(flat == 0)
+    def _first():
+        idx_copy(par, bh, qi).start()
+    idx_copy(par, bh, qi).wait()
+    nxt_qi = jax.lax.rem(qi + 1, n_qt)
+    nxt_bh = bh + jnp.where(qi + 1 == n_qt, 1, 0)
 
-    def wait_all(slot, t):
-        for g in range(group):
-            seg_copy(k_ref, kbuf, slot, t, g, 0).wait()
-            seg_copy(v_ref, vbuf, slot, t, g, 1).wait()
-
-    @pl.when(iters > 0)
-    def _warmup():
-        start_all(0, 0)
+    @pl.when(nxt_bh < pl.num_programs(0))
+    def _next():
+        idx_copy(nxt_par, nxt_bh, nxt_qi).start()
 
     q = q_ref[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (q_block, KV_BLOCK), 1)
+    d = q_ref.shape[-1]
+    width = segs * seg_rows
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_block, width), 1)
+    lane = col % seg_rows
+    grp = col // seg_rows
 
     def body(t, carry):
         m, l, acc = carry
-        slot = jax.lax.rem(t, 2)
-        nxt = jax.lax.rem(t + 1, 2)
-
-        @pl.when(t + 1 < iters)
-        def _prefetch():
-            start_all(nxt, t + 1)
-
-        wait_all(slot, t)
+        parts = []
+        for u in range(segs):
+            blk = idxbuf[par, 0, segs * t + u]
+            parts.append(kv_ref[0, blk])  # [2*seg_rows, D] vector load
+        kv = jnp.stack(parts)  # [segs, 2*seg_rows, D]
+        kb = kv[:, :seg_rows, :].reshape(width, d)
+        vb = kv[:, seg_rows:, :].reshape(width, d)
         s = jax.lax.dot_general(
-            q, kbuf[slot], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s * scale + bias
-        # Column validity: each of the `group` segments is valid iff its list
-        # entry is below `count` and its pooled source rows are in range.
-        valid = jnp.zeros((q_block, KV_BLOCK), jnp.bool_)
-        for g in range(group):
-            blk = idxbuf[0, t * group + g]
-            in_seg = (col >= g * seg_rows) & (col < (g + 1) * seg_rows)
-            src_row = blk * seg_rows + (col - g * seg_rows)
-            ok = (t * group + g < count) & (src_row < pooled_valid_len)
-            valid = valid | (in_seg & ok)
-        s = jnp.where(valid, s, NEG_INF)
-
+        ok = (segs * t + grp) < count
+        src_col = jnp.zeros((q_block, width), jnp.int32)
+        for u in range(segs):
+            blk_u = idxbuf[par, 0, segs * t + u]
+            src_col = jnp.where(grp == u, blk_u * seg_rows + lane, src_col)
+        ok = ok & (src_col < pooled_valid_len)
+        s = jnp.where(ok, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p.astype(vbuf.dtype), vbuf[slot], (((1,), (0,)), ((), ())),
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc = acc * alpha + pv
         return m_new, l, acc
 
-    d = q_ref.shape[-1]
     m0 = jnp.full((q_block, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((q_block, 1), jnp.float32)
     acc0 = jnp.zeros((q_block, d), jnp.float32)
@@ -162,56 +149,114 @@ def pooled_level_attention(
     scale: float,
     pooled_valid_len: int,
     q_block: int = 128,
+    tile_width: int = 512,
     interpret: Optional[bool] = None,
 ):
-    """One level's grouped gather pass; returns ``(out, lse)`` ([BH, Lq])."""
+    """One level's pooled gather pass; returns ``(out, lse)`` ([BH, Lq]).
+
+    Reuses the grouped block-gather flash kernel: an original 128-block at
+    level L corresponds to a ``128/L``-row segment of the pooled K/V; each
+    iteration gathers ``tile_width/ (128/L)`` selected segments (packed K+V,
+    one DMA each) into a ``tile_width``-wide MXU tile with a ``+log(L)``
+    score bias.
+    """
     if interpret is None:
         interpret = _interpret_default()
     bh, lq, d = q.shape
     n_qt = lq // q_block
     seg_rows = KV_BLOCK // level
+    segs = max(tile_width // seg_rows, 1)
+    lp = k_pool.shape[1]
+    n_blocks = lp // seg_rows
     idx, cnt = mask_to_block_lists(block_mask)
     idx4, cnt = _tile_lists(idx, cnt)
     max_k = idx4.shape[-1]
+    # Pad list length so segs * iters never reads past the tile.
+    if max_k % segs:
+        pad = segs - max_k % segs
+        idx4 = jnp.pad(idx4, ((0, 0), (0, 0), (0, 0), (0, pad)), mode="edge")
+        max_k += pad
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(bh, n_qt),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+    kv_packed = jnp.concatenate(
+        [
+            k_pool.reshape(bh, n_blocks, seg_rows, d),
+            v_pool.reshape(bh, n_blocks, seg_rows, d),
         ],
-        out_specs=[
-            pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
-            pl.BlockSpec((1, 8, q_block), lambda b, i, *_: (b, 0, i)),
-        ],
-        scratch_shapes=[
-            pltpu.SMEM((8, max_k), jnp.int32),
-            pltpu.VMEM((2, KV_BLOCK, d), k_pool.dtype),
-            pltpu.VMEM((2, KV_BLOCK, d), v_pool.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, level)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        axis=2,
     )
-    out, lse8 = pl.pallas_call(
-        functools.partial(
-            _grouped_fwd_kernel,
+
+    pyramid_bytes = kv_packed.shape[1] * kv_packed.shape[2] * d * kv_packed.dtype.itemsize
+    use_vmem = pyramid_bytes <= 4 * 1024 * 1024  # per-(b,h) pyramid budget
+
+    if use_vmem:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, n_qt),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec(
+                    (1, kv_packed.shape[1], kv_packed.shape[2], d),
+                    lambda b, i, *_: (b, 0, 0, 0),
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, 8, q_block), lambda b, i, *_: (b, 0, i)),
+            ],
+            scratch_shapes=[
+                pltpu.SMEM((2, 8, max_k), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel = functools.partial(
+            _vmem_level_kernel,
             scale=scale,
             bias=float(math.log(level)),
-            group=level,
-            seg_rows=seg_rows,
             pooled_valid_len=pooled_valid_len,
             q_block=q_block,
-        ),
+            seg_rows=seg_rows,
+            segs=segs,
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, n_qt),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, 8, q_block), lambda b, i, *_: (b, 0, i)),
+            ],
+            scratch_shapes=[
+                pltpu.SMEM((2, 8, max_k), jnp.int32),
+                pltpu.VMEM((NBUF, segs, 2 * seg_rows, d), k_pool.dtype),
+                pltpu.SemaphoreType.DMA((NBUF, segs)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel = functools.partial(
+            _sparse_fwd_kernel,
+            scale=scale,
+            bias=float(math.log(level)),
+            kv_valid_len=pooled_valid_len,
+            kv_pad_len=lp + 1,  # force tail masking (pooled tails)
+            q_block=q_block,
+            seg_rows=seg_rows,
+            segs=segs,
+        )
+    out, lse8 = pl.pallas_call(
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
             jax.ShapeDtypeStruct((bh, 8, lq), jnp.float32),
         ],
         interpret=interpret,
-    )(cnt, idx4, q, k_pool, v_pool)
+    )(cnt, idx4, q, kv_packed)
     return out, lse8[:, 0, :]
 
 
