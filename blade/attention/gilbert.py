@@ -172,9 +172,17 @@ def gilbert_permutations(width: int, height: int, depth: int):
       ``(perm, inv_perm)`` int32 arrays of shape ``[W*H*T]`` such that
       ``x[perm]`` lists tokens in curve order and ``y[inv_perm]`` undoes it.
     """
-    coords = gilbert3d_coords(width, height, depth)
-    flat = coords[:, 0] + width * (coords[:, 1] + height * coords[:, 2])
-    perm = flat.astype(np.int32)
+    perm = None
+    try:  # native generator (exact same curve; parity-tested)
+        from blade import native
+
+        perm = native.gilbert3d_flat(width, height, depth)
+    except Exception:
+        perm = None
+    if perm is None:
+        coords = gilbert3d_coords(width, height, depth)
+        flat = coords[:, 0] + width * (coords[:, 1] + height * coords[:, 2])
+        perm = flat.astype(np.int32)
     inv_perm = np.empty_like(perm)
     inv_perm[perm] = np.arange(perm.size, dtype=np.int32)
     return perm, inv_perm

@@ -61,6 +61,9 @@ def sample_wan(
     sched = F.make_flow_unipc_schedule(num_steps, flow_shift=flow_shift)
     timesteps = jnp.asarray(sched.timesteps, jnp.float32)
     fn = _with_cfg(model_fn, guidance_scale, text_embeds, neg_text_embeds)
+    # Solver state runs in f32 regardless of model dtype (the UniPC linear
+    # combinations lose too much in bf16; the model casts internally).
+    noise = noise.astype(jnp.float32)
 
     if solver == "euler":
         def body(carry, i):
@@ -100,6 +103,7 @@ def sample_cogvideox(
     sched = make_dpm_schedule(base, num_steps)
     timesteps = jnp.asarray(sched.timesteps, jnp.float32)
     fn = _with_cfg(model_fn, guidance_scale, text_embeds, neg_text_embeds)
+    noise = noise.astype(jnp.float32)
 
     def body(carry, i):
         state = carry
