@@ -21,19 +21,31 @@ from blade.attention.asa import ASAConfig, asa_attention
 __all__ = ["make_asa_attention_fn"]
 
 
-def make_asa_attention_fn(asa_cfg: ASAConfig, interpret: Optional[bool] = None):
+def make_asa_attention_fn(
+    asa_cfg: ASAConfig,
+    interpret: Optional[bool] = None,
+    log_sparsity_every: int = 0,
+):
     """Returns ``attention_fn(q, k, v, rng=..., layer_index=...) -> out``.
 
     Drop-in for ``WanModel``/``CogVideoXModel`` ``attention_fn``; applies the
     full ASA pipeline (gilbert reorder, mask prediction, sparse + pooled
     fusion or multi-level execution per ``asa_cfg.mask_mode``).
+
+    ``log_sparsity_every > 0`` emits the per-layer sparsity from inside the
+    compiled graph every N layers (the reference prints a running average
+    every 800 calls, ``cogvideo_blocksparseattn.py:414-420``).
     """
 
     def attention_fn(q, k, v, *, rng=None, layer_index=0, **_):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         rng = jax.random.fold_in(rng, layer_index)
-        out, _ = asa_attention(rng, q, k, v, asa_cfg, interpret=interpret)
+        out, sparsity = asa_attention(rng, q, k, v, asa_cfg, interpret=interpret)
+        if log_sparsity_every and layer_index % log_sparsity_every == 0:
+            jax.debug.print(
+                "asa sparsity layer {l}: {s:.4f}", l=layer_index, s=sparsity
+            )
         return out.astype(q.dtype)
 
     return attention_fn

@@ -157,24 +157,32 @@ def main():
         print(f"resumed from step {int(state.step)}")
 
     # Prompt embedding source: precomputed dir (data-free) or random smoke.
+    # A packed native store (with background prefetch) is built on first use;
+    # the reference reloads a pickle per sample per step instead.
+    store = None
+    uncond_np = None
+    if args.prompt_embeds:
+        from blade import native
+
+        base = args.prompt_embeds
+        packed = os.path.join(base, "store.bin")
+        if not os.path.exists(packed):
+            native.pack_embeddings(
+                os.path.join(base, "individual_embeddings"), packed
+            )
+        store = native.EmbedStore(packed)
+        uncond_np = np.load(os.path.join(base, "uncond.npy"))
+
     def load_batch(step_idx, r):
-        if args.prompt_embeds:
-            base = args.prompt_embeds
-            embeds = []
-            idx0 = (jax.process_index() * 600 + step_idx * args.batch_size)
-            files = sorted(
-                os.listdir(os.path.join(base, "individual_embeddings"))
+        if store is not None:
+            idx0 = jax.process_index() * 600 + step_idx * args.batch_size
+            idxs = [(idx0 + i) % len(store) for i in range(args.batch_size)]
+            # warm the page cache for the NEXT step while this one computes
+            store.prefetch([(i + args.batch_size) % len(store) for i in idxs])
+            text = jnp.asarray(
+                np.concatenate([store.get(i) for i in idxs], 0), dtype
             )
-            for i in range(args.batch_size):
-                f = files[(idx0 + i) % len(files)]
-                embeds.append(
-                    np.load(os.path.join(base, "individual_embeddings", f))
-                )
-            text = jnp.asarray(np.concatenate(embeds, 0), dtype)
-            uncond = jnp.asarray(
-                np.load(os.path.join(base, "uncond.npy")), dtype
-            )
-            uncond = jnp.broadcast_to(uncond, text.shape)
+            uncond = jnp.broadcast_to(jnp.asarray(uncond_np, dtype), text.shape)
         else:
             text = jax.random.normal(
                 jax.random.fold_in(r, 1),
@@ -185,6 +193,8 @@ def main():
         return {"text_embeds": text, "uncond_embeds": uncond, "noise": noise}
 
     train_step = jax.jit(tdm.make_tdm_train_step(apply_fn, family, cfg))
+    os.makedirs(args.output_dir, exist_ok=True)
+    metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
     print(f"training {args.max_train_steps} steps, batch {args.batch_size}, "
           f"mesh dp={args.dp} fsdp={args.fsdp} tp={args.tp}")
     t0 = time.time()
@@ -199,6 +209,12 @@ def main():
         lf, lg = float(metrics["loss_fake"]), float(metrics["loss_du"])
         print(f"step {step_idx}: loss_fake={lf:.4f} loss_du={lg:.4f} "
               f"({(time.time() - t0) / steps_done:.1f}s/step)")
+        import json as _json
+
+        metrics_log.write(_json.dumps(
+            {"step": step_idx, "loss_fake": lf, "loss_du": lg,
+             "t": time.time()}) + "\n")
+        metrics_log.flush()
         if (step_idx + 1) % args.checkpointing_steps == 0:
             ckpt.save(step_idx + 1, state)
             print(f"saved checkpoint @ {step_idx + 1}")

@@ -105,6 +105,9 @@ class TDMConfig:
     lora_alpha: float = 64.0
     # Pseudo-Huber c; None -> reference formula 1e-3 / (128 * sqrt(numel)).
     huber_c: Optional[float] = None
+    # Gradient accumulation: each optimizer applies every N train_step calls
+    # (reference: accelerate grad-accum x4, train_tdm_1.sh).
+    grad_accum: int = 1
     # Divide generator loss by clamp(mean|model-real|, max=5) (cog yes/wan no)
     use_weighting_factor: bool = True
     # Skip the fake update when loss_fake explodes (wan guard; None = off).
@@ -121,10 +124,13 @@ class TDMState(flax.struct.PyTreeNode):
 
 
 def _optimizer(lr, cfg: TDMConfig):
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(lr, b1=cfg.adam_b1, b2=cfg.adam_b2, weight_decay=1e-4),
     )
+    if cfg.grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
+    return tx
 
 
 def create_tdm_state(rng, base_params, cfg: TDMConfig) -> TDMState:

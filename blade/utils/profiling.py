@@ -15,7 +15,7 @@ from typing import Callable, Sequence
 import jax
 import numpy as np
 
-__all__ = ["bench_fn", "sync"]
+__all__ = ["bench_fn", "sync", "trace"]
 
 
 def sync(tree) -> None:
@@ -48,3 +48,17 @@ def bench_fn(
     t_base = min(run(1) for _ in range(repeats))
     t_full = min(run(1 + iters) for _ in range(repeats))
     return max((t_full - t_base) / iters, 1e-9)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context (TensorBoard-compatible; the TPU analogue
+    of the reference's ad-hoc @timeit CUDA-sync decorator)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
