@@ -22,6 +22,14 @@ from blade.models.wan_dit import WanConfig
 __all__ = ["convert_wan_transformer", "convert_cogvideox_transformer"]
 
 
+def _stack_layers(layers):
+    """List of per-layer trees -> one tree with a leading layer axis
+    (matches the ``nn.scan`` parameter layout)."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *layers)
+
+
 def _lin(sd, name):
     return {"kernel": np.asarray(sd[name + ".weight"], np.float32).T,
             **({"bias": np.asarray(sd[name + ".bias"], np.float32)}
@@ -59,9 +67,10 @@ def convert_wan_transformer(sd: Mapping[str, np.ndarray], cfg: WanConfig) -> Dic
         .reshape(1, 2, cfg.dim),
         "proj_out": _lin(sd, "proj_out"),
     }
+    layers = []
     for i in range(cfg.num_layers):
         b = f"blocks.{i}"
-        p[f"blocks_{i}"] = {
+        layers.append({
             "modulation": np.asarray(sd[f"{b}.scale_shift_table"], np.float32)
             .reshape(1, 6, cfg.dim),
             "attn1": {
@@ -85,7 +94,8 @@ def convert_wan_transformer(sd: Mapping[str, np.ndarray], cfg: WanConfig) -> Dic
                 "Dense_0": _lin(sd, f"{b}.ffn.net.0.proj"),
                 "Dense_1": _lin(sd, f"{b}.ffn.net.2"),
             },
-        }
+        })
+    p["blocks"] = _stack_layers(layers)
     return {"params": p}
 
 
@@ -102,9 +112,10 @@ def convert_cogvideox_transformer(
         "norm_out_linear": _lin(sd, "norm_out.linear"),
         "proj_out": _lin(sd, "proj_out"),
     }
+    layers = []
     for i in range(cfg.num_layers):
         b = f"transformer_blocks.{i}"
-        p[f"blocks_{i}"] = {
+        layers.append({
             "norm1": {
                 "linear": _lin(sd, f"{b}.norm1.linear"),
                 "norm": _norm(sd, f"{b}.norm1.norm"),
@@ -125,5 +136,6 @@ def convert_cogvideox_transformer(
                 "Dense_0": _lin(sd, f"{b}.ff.net.0.proj"),
                 "Dense_1": _lin(sd, f"{b}.ff.net.2"),
             },
-        }
+        })
+    p["blocks"] = _stack_layers(layers)
     return {"params": p}

@@ -93,9 +93,10 @@ class CogJointAttention(nn.Module):
 
     cfg: CogVideoXConfig
     dtype: Any = jnp.bfloat16
+    attention_fn: Callable = dense_attention_fn
 
     @nn.compact
-    def __call__(self, hidden, enc, rope_cos, rope_sin, attention_fn, attn_kwargs):
+    def __call__(self, hidden, enc, rope_cos, rope_sin, attn_kwargs):
         c = self.cfg
         text_len = enc.shape[1]
         x = jnp.concatenate([enc, hidden], axis=1)
@@ -121,7 +122,7 @@ class CogJointAttention(nn.Module):
         q = jnp.concatenate([q[:, :, :text_len], q_vid], axis=2)
         k = jnp.concatenate([k[:, :, :text_len], k_vid], axis=2)
 
-        out = attention_fn(q, k, v, **attn_kwargs)
+        out = self.attention_fn(q, k, v, **attn_kwargs)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, c.dim).astype(self.dtype)
         out = dense("to_out")(out)
         return out[:, text_len:], out[:, :text_len]
@@ -130,16 +131,19 @@ class CogJointAttention(nn.Module):
 class CogVideoXBlock(nn.Module):
     cfg: CogVideoXConfig
     dtype: Any = jnp.bfloat16
+    attention_fn: Callable = dense_attention_fn
 
     @nn.compact
-    def __call__(self, hidden, enc, temb, rope_cos, rope_sin, attention_fn,
-                 attn_kwargs):
+    def __call__(self, carry, layer_idx, temb, rope_cos, rope_sin, attn_kwargs):
+        hidden, enc = carry
+        attn_kwargs = dict(attn_kwargs, layer_index=layer_idx)
         c = self.cfg
         text_len = enc.shape[1]
         n_h, n_e, gate, e_gate = LayerNormZero(c.dim, c.eps, self.dtype,
                                                name="norm1")(hidden, enc, temb)
-        attn_h, attn_e = CogJointAttention(c, self.dtype, name="attn1")(
-            n_h, n_e, rope_cos, rope_sin, attention_fn, attn_kwargs
+        attn_h, attn_e = CogJointAttention(c, self.dtype, self.attention_fn,
+                                           name="attn1")(
+            n_h, n_e, rope_cos, rope_sin, attn_kwargs
         )
         hidden = hidden + (gate * attn_h.astype(jnp.float32)).astype(hidden.dtype)
         enc = enc + (e_gate * attn_e.astype(jnp.float32)).astype(enc.dtype)
@@ -153,7 +157,7 @@ class CogVideoXBlock(nn.Module):
             hidden.dtype
         )
         enc = enc + (e_gate * ff[:, :text_len].astype(jnp.float32)).astype(enc.dtype)
-        return hidden, enc
+        return (hidden, enc), None
 
 
 class CogVideoXModel(nn.Module):
@@ -162,6 +166,8 @@ class CogVideoXModel(nn.Module):
     cfg: CogVideoXConfig
     dtype: Any = jnp.bfloat16
     attention_fn: Callable = dense_attention_fn
+    scan_layers: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, latents, timestep, text_embeds, attn_kwargs=None):
@@ -193,12 +199,28 @@ class CogVideoXModel(nn.Module):
         cos, sin = rope_3d_tables(c.head_dim, (t, gh, gw), dims_thw=c.rope_dims)
         cos, sin = jnp.asarray(cos), jnp.asarray(sin)
 
-        hidden = x
-        for i in range(c.num_layers):
-            hidden, enc = CogVideoXBlock(c, self.dtype, name=f"blocks_{i}")(
-                hidden, enc, temb, cos, sin, self.attention_fn,
-                dict(attn_kwargs, layer_index=i),
+        block_cls = CogVideoXBlock
+        if self.remat:
+            block_cls = nn.remat(block_cls, prevent_cse=False)
+        layer_ids = jnp.arange(c.num_layers)
+        if self.scan_layers:
+            scan_blocks = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast,
+                         nn.broadcast),
+                length=c.num_layers,
             )
+            (hidden, enc), _ = scan_blocks(
+                c, self.dtype, self.attention_fn, name="blocks"
+            )((x, enc), layer_ids, temb, cos, sin, attn_kwargs)
+        else:
+            hidden = x
+            for i in range(c.num_layers):
+                (hidden, enc), _ = block_cls(
+                    c, self.dtype, self.attention_fn, name=f"blocks_{i}"
+                )((hidden, enc), layer_ids[i], temb, cos, sin, attn_kwargs)
 
         # Final: joint LayerNorm over [text, video], then AdaLN + projection.
         joint = jnp.concatenate([enc, hidden], axis=1)

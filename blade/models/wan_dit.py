@@ -7,10 +7,19 @@ Wan2.1-T2V-1.3B as consumed by the reference (``wanx/train/modify_wan.py``,
 self-attention with 3-D RoPE and RMS QK-norm, text cross-attention
 (UMT5 features), GELU FFN, modulated head.
 
-The self-attention function is pluggable (``attention_fn``) so the same
-module runs dense or ASA block-sparse — the TPU equivalent of the
-reference's processor swap (``set_adaptive_block_sparse_attn_wanx``,
-``modify_wan.py:150-168``).  Flow-matching: the model output is the velocity.
+TPU-first details:
+  * blocks run under ``nn.scan`` by default (``scan_layers=True``): the
+    transformer compiles ONE block regardless of depth — the 30-layer
+    unrolled graph otherwise takes tens of minutes of XLA compile time —
+    with per-layer parameters stacked on a leading axis;
+  * ``remat=True`` wraps the scanned block in ``nn.remat`` (activation
+    rematerialization, the ``jax.checkpoint`` memory/compute trade);
+  * the self-attention function is pluggable (``attention_fn``) so the same
+    module runs dense or ASA block-sparse — the TPU equivalent of the
+    reference's processor swap (``set_adaptive_block_sparse_attn_wanx``,
+    ``modify_wan.py:150-168``).
+
+Flow matching: the model output is the velocity.
 """
 
 from __future__ import annotations
@@ -63,9 +72,10 @@ WAN_TINY = WanConfig(dim=128, ffn_dim=256, num_layers=2, num_heads=2, text_dim=6
 class WanSelfAttention(nn.Module):
     cfg: WanConfig
     dtype: Any = jnp.bfloat16
+    attention_fn: Callable = dense_attention_fn
 
     @nn.compact
-    def __call__(self, x, rope_cos, rope_sin, attention_fn, attn_kwargs):
+    def __call__(self, x, rope_cos, rope_sin, attn_kwargs):
         c = self.cfg
         b, l, _ = x.shape
         dense = lambda name: nn.Dense(
@@ -81,7 +91,7 @@ class WanSelfAttention(nn.Module):
         q, k, v = heads(q), heads(k), heads(v)
         q = apply_rope(q, rope_cos, rope_sin)
         k = apply_rope(k, rope_cos, rope_sin)
-        out = attention_fn(q, k, v, **attn_kwargs)
+        out = self.attention_fn(q, k, v, **attn_kwargs)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, c.dim).astype(self.dtype)
         return dense("to_out")(out)
 
@@ -117,10 +127,13 @@ class WanCrossAttention(nn.Module):
 class WanBlock(nn.Module):
     cfg: WanConfig
     dtype: Any = jnp.bfloat16
+    attention_fn: Callable = dense_attention_fn
 
     @nn.compact
-    def __call__(self, x, context, temb6, rope_cos, rope_sin, attention_fn, attn_kwargs):
+    def __call__(self, x, layer_idx, context, temb6, rope_cos, rope_sin,
+                 attn_kwargs):
         c = self.cfg
+        attn_kwargs = dict(attn_kwargs, layer_index=layer_idx)
         # Per-block learned modulation table added to the shared time
         # projection (Wan's `modulation` parameter).
         table = self.param(
@@ -136,8 +149,8 @@ class WanBlock(nn.Module):
             name=name,
         )
         h = ln()(x).astype(jnp.float32) * (1 + scale1) + shift1
-        attn = WanSelfAttention(c, self.dtype, name="attn1")(
-            h.astype(self.dtype), rope_cos, rope_sin, attention_fn, attn_kwargs
+        attn = WanSelfAttention(c, self.dtype, self.attention_fn, name="attn1")(
+            h.astype(self.dtype), rope_cos, rope_sin, attn_kwargs
         )
         x = x + (gate1 * attn.astype(jnp.float32)).astype(x.dtype)
 
@@ -155,7 +168,7 @@ class WanBlock(nn.Module):
         h = ln()(x).astype(jnp.float32) * (1 + scale2) + shift2
         ffn = FeedForward(c.ffn_dim, dtype=self.dtype, name="ffn")(h.astype(self.dtype))
         x = x + (gate2 * ffn.astype(jnp.float32)).astype(x.dtype)
-        return x
+        return x, None
 
 
 class WanModel(nn.Module):
@@ -170,6 +183,8 @@ class WanModel(nn.Module):
     cfg: WanConfig
     dtype: Any = jnp.bfloat16
     attention_fn: Callable = dense_attention_fn
+    scan_layers: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, latents, timestep, text_embeds, attn_kwargs=None):
@@ -205,11 +220,28 @@ class WanModel(nn.Module):
         cos, sin = rope_3d_tables(c.head_dim, (gt, gh, gw))
         cos, sin = jnp.asarray(cos), jnp.asarray(sin)
 
-        for i in range(c.num_layers):
-            x = WanBlock(c, self.dtype, name=f"blocks_{i}")(
-                x, ctx, temb6, cos, sin, self.attention_fn,
-                dict(attn_kwargs, layer_index=i),
+        block_cls = WanBlock
+        if self.remat:
+            block_cls = nn.remat(block_cls, prevent_cse=False)
+        layer_ids = jnp.arange(c.num_layers)
+        if self.scan_layers:
+            scan_blocks = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast,
+                         nn.broadcast, nn.broadcast),
+                length=c.num_layers,
             )
+            x, _ = scan_blocks(c, self.dtype, self.attention_fn, name="blocks")(
+                x, layer_ids, ctx, temb6, cos, sin, attn_kwargs
+            )
+        else:
+            for i in range(c.num_layers):
+                x, _ = block_cls(c, self.dtype, self.attention_fn,
+                                 name=f"blocks_{i}")(
+                    x, layer_ids[i], ctx, temb6, cos, sin, attn_kwargs
+                )
 
         # Head: 2-way modulation from temb, then projection to patches.
         head_table = self.param(

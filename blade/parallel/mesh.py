@@ -80,18 +80,24 @@ def param_sharding_rules(params, mesh: Mesh, rules=DEFAULT_RULES):
                 break
         else:
             chosen = P()
-        # Validate divisibility; drop axes that don't divide.
+        # Right-align the spec to the trailing dims (scan-stacked params
+        # carry a leading layer axis; conv kernels lead with window dims),
+        # then drop axes that don't divide the shape.
+        spec_t = tuple(chosen)
+        if len(spec_t) < leaf.ndim:
+            spec_t = (None,) * (leaf.ndim - len(spec_t)) + spec_t
+        spec_t = spec_t[: leaf.ndim]
         fixed = []
-        for dim, axis in enumerate(tuple(chosen) + (None,) * (leaf.ndim - len(tuple(chosen)))):
+        for dim, axis in enumerate(spec_t):
             if axis is None:
                 fixed.append(None)
                 continue
             size = mesh.shape[axis]
-            if dim < leaf.ndim and leaf.shape[dim] % size == 0 and leaf.shape[dim] >= size:
+            if leaf.shape[dim] % size == 0 and leaf.shape[dim] >= size:
                 fixed.append(axis)
             else:
                 fixed.append(None)
-        return NamedSharding(mesh, P(*fixed[: leaf.ndim]))
+        return NamedSharding(mesh, P(*fixed))
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
