@@ -107,7 +107,9 @@ def predict_block_scores(
     q_s = M.sample_block_tokens(rq, qp, cfg.block_size, cfg.sample_tokens_per_block)
     k_s = M.sample_block_tokens(rk, kp, cfg.block_size, cfg.sample_tokens_per_block)
     scale = 1.0 / math.sqrt(q.shape[-1])
-    return M.pooled_attention_scores(
+    from blade.kernels.pooled_predictor import pooled_scores_kernel_call
+
+    return pooled_scores_kernel_call(
         q_s, k_s, tokens_per_block=cfg.sample_tokens_per_block, scale=scale
     )
 

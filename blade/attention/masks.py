@@ -117,21 +117,29 @@ def pooled_attention_scores(
         # Pad with duplicate rows; the extra block rows are dropped below.
         q_s = jnp.concatenate([q_s, q_s[:, :, :pad]], axis=2)
 
-    kt = jnp.swapaxes(k_s, -1, -2).astype(jnp.float32)
+    # bf16 matmul with f32 accumulate: the estimator is approximate by
+    # construction (random token subsampling), so reduced-precision scores
+    # cost nothing while f32 matmuls on the MXU would cost ~8x.
+    kt = jnp.swapaxes(k_s, -1, -2).astype(jnp.bfloat16)
 
     def one_chunk(qc):
         # qc: [B, H, q_chunk, D]
         s = jnp.einsum(
-            "bhqd,bhdk->bhqk", qc.astype(jnp.float32), kt, precision=jax.lax.Precision.DEFAULT
+            "bhqd,bhdk->bhqk", qc.astype(jnp.bfloat16), kt,
+            preferred_element_type=jnp.float32,
         ) * scale
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        probs = p / l  # row softmax over the sampled keys
-        probs = probs.reshape(
-            b, h, qc.shape[2] // tokens_per_block, tokens_per_block, n_k, tokens_per_block
+        # Defer the 1/l row normalization until after the key-axis block-max
+        # (max is monotone in a positive per-row scale) — avoids a second
+        # full [.., Ls, Ls] elementwise pass.
+        nq_chunk = qc.shape[2] // tokens_per_block
+        pb = p.reshape(b, h, nq_chunk, tokens_per_block, n_k, tokens_per_block)
+        per_row = jnp.max(pb, axis=5) / l.reshape(
+            b, h, nq_chunk, tokens_per_block, 1
         )
-        return jnp.max(probs, axis=(3, 5))  # [B, H, nq_chunk, n_k]
+        return jnp.max(per_row, axis=3)  # [B, H, nq_chunk, n_k]
 
     chunks = q_s.reshape(b, h, n_chunks, q_chunk, d).transpose(2, 0, 1, 3, 4)
     po = jax.lax.map(one_chunk, chunks)  # [n_chunks, B, H, nq_chunk, n_k]

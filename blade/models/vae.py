@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "sliced_decode",
     "VAEConfig",
     "VideoEncoder",
     "VideoDecoder",
@@ -320,3 +321,37 @@ def tiled_decode(
     for nxt in blended_rows[1:]:
         out = blend(out, nxt, axis=2)
     return out
+
+
+def sliced_decode(
+    decode_fn,
+    z: jnp.ndarray,
+    *,
+    chunk_frames: int = 4,
+    context_frames: int = 2,
+):
+    """`enable_slicing` equivalent: decode latent frames in temporal chunks.
+
+    Causality makes this exact up to the temporal receptive field: each
+    chunk is decoded with `context_frames` of preceding latent frames and
+    the warmup output is dropped.  The first chunk (which contains the
+    image-coded first frame) is decoded without context.
+    """
+    b, t, h, w, c = z.shape
+    outs = []
+    start = 0
+    while start < t:
+        end = min(start + chunk_frames, t)
+        ctx = min(context_frames, start)
+        piece = decode_fn(z[:, start - ctx : end])
+        if start == 0:
+            outs.append(piece)
+        else:
+            # temporal upsampling keeps frame 0 special only for the first
+            # chunk; later chunks map 1 latent -> temporal_factor frames.
+            produced = piece.shape[1]
+            latent_frames = end - (start - ctx)
+            per = produced // latent_frames if latent_frames else 1
+            outs.append(piece[:, ctx * per :])
+        start = end
+    return jnp.concatenate(outs, axis=1)

@@ -110,6 +110,9 @@ class TDMConfig:
     grad_accum: int = 1
     # Divide generator loss by clamp(mean|model-real|, max=5) (cog yes/wan no)
     use_weighting_factor: bool = True
+    # Train the full student/fake models instead of LoRA adapters (the Wan
+    # trainer's `--use_lora false` mode, train_wanx_tdm.py).
+    train_full_model: bool = False
     # Skip the fake update when loss_fake explodes (wan guard; None = off).
     fake_loss_skip_threshold: Optional[float] = None
 
@@ -135,6 +138,17 @@ def _optimizer(lr, cfg: TDMConfig):
 
 def create_tdm_state(rng, base_params, cfg: TDMConfig) -> TDMState:
     rg, rf = jax.random.split(rng)
+    if cfg.train_full_model:
+        # Student/fake start as copies of the teacher; `merge` is identity.
+        copy = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        lora_g = copy(base_params)
+        lora_f = copy(base_params)
+        opt_g = _optimizer(cfg.lr_generator, cfg).init(lora_g)
+        opt_f = _optimizer(cfg.lr_fake, cfg).init(lora_f)
+        return TDMState(
+            step=jnp.zeros((), jnp.int32), base_params=base_params,
+            lora_g=lora_g, lora_f=lora_f, opt_g=opt_g, opt_f=opt_f,
+        )
     lora_g = lora_lib.init_lora(rg, base_params, rank=cfg.lora_rank)
     lora_f = lora_lib.init_lora(rf, base_params, rank=cfg.lora_rank)
     opt_g = _optimizer(cfg.lr_generator, cfg).init(lora_g)
@@ -205,9 +219,12 @@ def make_tdm_train_step(
     """
     opt_g = _optimizer(cfg.lr_generator, cfg)
     opt_f = _optimizer(cfg.lr_fake, cfg)
-    merge = lambda base, l: lora_lib.merge_lora(
-        base, l, alpha=cfg.lora_alpha, rank=cfg.lora_rank
-    )
+    if cfg.train_full_model:
+        merge = lambda base, l: l  # adapters ARE the full parameters
+    else:
+        merge = lambda base, l: lora_lib.merge_lora(
+            base, l, alpha=cfg.lora_alpha, rank=cfg.lora_rank
+        )
 
     def predict_x0(params, x_t, t, text, rng, guidance=None, uncond=None):
         out = model_apply(params, x_t, t.astype(jnp.float32), text, rng)

@@ -139,3 +139,36 @@ def test_pad_to_block_multiple_edge():
     y = M.pad_to_block_multiple(x, 4, axis=1)
     assert y.shape == (1, 8, 2)
     np.testing.assert_array_equal(np.asarray(y[0, 5:]), np.asarray(x[0, -1:]).repeat(3, 0))
+
+
+def test_pooled_predictor_kernel_matches_reference():
+    from blade.kernels.pooled_predictor import pooled_scores_kernel_call
+
+    rng = jax.random.PRNGKey(11)
+    b, h, nb, tpb, d = 1, 2, 24, 32, 64
+    q_s = jax.random.normal(rng, (b, h, nb * tpb, d))
+    k_s = jax.random.normal(jax.random.PRNGKey(12), (b, h, nb * tpb, d))
+    ref = M.pooled_attention_scores(q_s, k_s, tokens_per_block=tpb)
+    got = pooled_scores_kernel_call(
+        q_s, k_s, tokens_per_block=tpb, interpret=True
+    )
+    assert got.shape == ref.shape
+    # The JAX reference casts scores to bf16 before the matmul; the kernel
+    # keeps f32 accumulation, so they agree only to bf16 precision.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-3,
+                               rtol=3e-2)
+
+
+def test_pooled_predictor_kernel_ragged():
+    from blade.kernels.pooled_predictor import pooled_scores_kernel_call
+
+    # lengths not multiples of the kernel tiles (q 256 / k 512)
+    rng = jax.random.PRNGKey(13)
+    b, h, tpb, d = 1, 1, 32, 64
+    q_s = jax.random.normal(rng, (b, h, 10 * tpb, d))
+    k_s = jax.random.normal(jax.random.PRNGKey(14), (b, h, 7 * tpb, d))
+    ref = M.pooled_attention_scores(q_s, k_s, tokens_per_block=tpb)
+    got = pooled_scores_kernel_call(q_s, k_s, tokens_per_block=tpb,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-3,
+                               rtol=3e-2)

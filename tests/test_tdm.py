@@ -142,3 +142,29 @@ def test_train_step_runs_and_updates(fam):
         jax.tree_util.tree_leaves(new_state.base_params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_full_model_training_mode():
+    """Wan `--use_lora false` parity: student/fake are full param trees."""
+    apply_fn, params, lat_shape, text = _wan_setup()
+    family = tdm.flow_family(F.flow_training_sigmas(1000, 3.0))
+    cfg = tdm.TDMConfig(k_step=2, lambda_reg=0.0, use_weighting_factor=False,
+                        train_full_model=True)
+    state = tdm.create_tdm_state(jax.random.PRNGKey(0), params, cfg)
+    step = tdm.make_tdm_train_step(apply_fn, family, cfg)
+    batch = {
+        "text_embeds": text,
+        "uncond_embeds": text * 0,
+        "noise": jax.random.normal(jax.random.PRNGKey(1), lat_shape),
+    }
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss_fake"]))
+    moved = sum(
+        float(np.abs(np.asarray(a - b)).sum())
+        for a, b in zip(jax.tree_util.tree_leaves(state.lora_g),
+                        jax.tree_util.tree_leaves(new_state.lora_g))
+    )
+    assert moved > 0
+    for a, b in zip(jax.tree_util.tree_leaves(state.base_params),
+                    jax.tree_util.tree_leaves(new_state.base_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -78,3 +78,16 @@ def test_vae_trainable():
     assert all(
         np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g)
     )
+
+
+def test_sliced_decode_close_to_full():
+    from blade.models.vae import sliced_decode
+
+    model, params, video = _vae()
+    z = model.apply(params, video, method=model.encode)  # [1, 3, 8, 8, C]
+    full = model.apply(params, z, method=model.decode)
+    decode_fn = lambda zz: model.apply(params, zz, method=model.decode)
+    sliced = sliced_decode(decode_fn, z, chunk_frames=2, context_frames=1)
+    assert sliced.shape == full.shape
+    err = np.abs(np.asarray(sliced) - np.asarray(full)).mean()
+    assert err < 0.2, err
