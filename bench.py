@@ -56,6 +56,20 @@ def main():
     t_sparse = bench_fn(f_sparse, (q, k, v, mask), iters=8)
     t_ml = bench_fn(f_ml, (q, k, v, levels), iters=8)
 
+    # Training path: fwd+bwd through the custom VJP.
+    def loss_sparse(q, k, v):
+        o, _ = block_sparse_attention(q, k, v, mask, interpret=False)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_dense(q, k, v):
+        o, _ = flash_attention(q, k, v, interpret=False)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g_sparse = jax.jit(jax.grad(loss_sparse, argnums=(0, 1, 2)))
+    g_dense = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2)))
+    t_bwd_sparse = bench_fn(g_sparse, (q, k, v), iters=4)
+    t_bwd_dense = bench_fn(g_dense, (q, k, v), iters=2)
+
     speedup = t_dense / t_sparse
     flops = 4.0 * b * h * l * l * d
     result = {
@@ -70,6 +84,9 @@ def main():
             "multilevel_speedup": round(t_dense / t_ml, 3),
             "dense_tflops": round(flops / t_dense / 1e12, 1),
             "sparse_effective_tflops": round(flops / t_sparse / 1e12, 1),
+            "train_fwd_bwd_sparse_ms": round(t_bwd_sparse * 1e3, 2),
+            "train_fwd_bwd_dense_ms": round(t_bwd_dense * 1e3, 2),
+            "train_fwd_bwd_speedup": round(t_bwd_dense / t_bwd_sparse, 3),
         },
     }
     print(json.dumps(result))

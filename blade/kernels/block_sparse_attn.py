@@ -322,157 +322,206 @@ def _sparse_fwd_kernel(
 
 def _sparse_dq_kernel(
     cnt_ref,
-    idx_hbm,
-    q_ref, do_ref, lse_ref, delta_ref, glse_ref,
-    k_ref, v_ref,
+    idx_hbm,  # [BH, nQt, 8, maxK]
+    q_ref, do_ref, lse_ref, delta_ref, glse_ref,  # tiles via BlockSpec
+    kv_ref,  # ANY packed [BH, nK, 2*KV_BLOCK, D]
     dq_ref,
-    idxbuf, kbuf, vbuf, sem, idx_sem,
+    idxbuf,  # SMEM (2, 8, maxK)
+    kvbuf,  # VMEM (NBUF, GROUP, 2*KV_BLOCK, D)
+    sem, idx_sem,
     *, scale, bias, kv_valid_len, kv_pad_len, q_block,
 ):
+    """Grouped dQ: gathers GROUP selected K/V blocks (packed, one DMA each)
+    per iteration, mirroring the forward kernel's pipeline."""
     bh = pl.program_id(0)
     qi = pl.program_id(1)
+    n_qt = pl.num_programs(1)
     count = cnt_ref[bh, qi]
+    iters = pl.cdiv(count, GROUP)
+    flat = bh * n_qt + qi
+    par = jax.lax.rem(flat, 2)
+    nxt_par = jax.lax.rem(flat + 1, 2)
 
-    idx_dma = pltpu.make_async_copy(idx_hbm.at[bh, qi], idxbuf, idx_sem)
-    idx_dma.start()
-    idx_dma.wait()
-
-    def k_copy(slot, t):
-        blk = idxbuf[0, t]
+    def idx_copy(buf_par, b_i, q_i):
         return pltpu.make_async_copy(
-            k_ref.at[bh, pl.ds(blk * KV_BLOCK, KV_BLOCK), :], kbuf.at[slot], sem.at[slot, 0]
+            idx_hbm.at[b_i, q_i], idxbuf.at[buf_par], idx_sem.at[buf_par]
         )
 
-    def v_copy(slot, t):
-        blk = idxbuf[0, t]
+    @pl.when(flat == 0)
+    def _first():
+        idx_copy(par, bh, qi).start()
+    idx_copy(par, bh, qi).wait()
+    nxt_qi = jax.lax.rem(qi + 1, n_qt)
+    nxt_bh = bh + jnp.where(qi + 1 == n_qt, 1, 0)
+
+    @pl.when(nxt_bh < pl.num_programs(0))
+    def _next():
+        idx_copy(nxt_par, nxt_bh, nxt_qi).start()
+
+    def kv_copy(slot, t, u):
+        blk = idxbuf[par, 0, GROUP * t + u]
         return pltpu.make_async_copy(
-            v_ref.at[bh, pl.ds(blk * KV_BLOCK, KV_BLOCK), :], vbuf.at[slot], sem.at[slot, 1]
+            kv_ref.at[bh, blk], kvbuf.at[slot, u], sem.at[slot, u]
         )
 
-    @pl.when(count > 0)
-    def _warmup():
-        k_copy(0, 0).start()
-        v_copy(0, 0).start()
+    def prefetch(t):
+        @pl.when(t < iters)
+        def _():
+            slot = jax.lax.rem(t, NBUF)
+            for u in range(GROUP):
+                kv_copy(slot, t, u).start()
+
+    for t0 in range(NBUF):
+        prefetch(t0)
 
     q = q_ref[0]
     do = do_ref[0]
     lse = jnp.transpose(lse_ref[0, 0:1, :], (1, 0))
     rest = jnp.transpose(glse_ref[0, 0:1, :] - delta_ref[0, 0:1, :], (1, 0))
+    d = q_ref.shape[-1]
+    width = GROUP * KV_BLOCK
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_block, width), 1)
+    lane = col % KV_BLOCK
+    grp = col // KV_BLOCK
 
     def body(t, dq):
-        slot = jax.lax.rem(t, 2)
-        nxt = jax.lax.rem(t + 1, 2)
-
-        @pl.when(t + 1 < count)
-        def _prefetch():
-            k_copy(nxt, t + 1).start()
-            v_copy(nxt, t + 1).start()
-
-        k_copy(slot, t).wait()
-        v_copy(slot, t).wait()
-        kb = kbuf[slot]
+        slot = jax.lax.rem(t, NBUF)
+        for u in range(GROUP):
+            kv_copy(slot, t, u).wait()
+        kv = kvbuf[slot]
+        kb = kv[:, :KV_BLOCK, :].reshape(width, d)
+        vb = kv[:, KV_BLOCK:, :].reshape(width, d)
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s * scale + bias
+        ok = (GROUP * t + grp) < count
         if kv_valid_len < kv_pad_len:
-            s = _tail_mask(s, idxbuf[0, t] * KV_BLOCK, kv_valid_len)
+            src_col = jnp.zeros((q_block, width), jnp.int32)
+            for u in range(GROUP):
+                blk_u = idxbuf[par, 0, GROUP * t + u]
+                src_col = jnp.where(grp == u, blk_u * KV_BLOCK + lane, src_col)
+            ok = ok & (src_col < kv_valid_len)
+        s = jnp.where(ok, s, NEG_INF)
         p = jnp.exp(s - lse)
         dov = jax.lax.dot_general(
-            do, vbuf[slot], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = (p * (dov + rest)).astype(kb.dtype)
-        return dq + jax.lax.dot_general(
+        dq = dq + jax.lax.dot_general(
             ds, kb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
+        prefetch(t + NBUF)
+        return dq
 
-    d = q_ref.shape[-1]
-    dq = jax.lax.fori_loop(0, count, body, jnp.zeros((q_block, d), jnp.float32))
+    dq = jax.lax.fori_loop(0, iters, body, jnp.zeros((q_block, d), jnp.float32))
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+GROUP_Q = 4  # gathered q blocks per dK/dV iteration
 
 
 def _sparse_dkv_kernel(
     tcnt_ref,  # [BH, nKt]
-    tidx_hbm,  # [BH, nKt, 8, maxQ] (HBM, row-replicated tiles)
+    tidx_hbm,  # [BH, nKt, 8, maxQ]
     k_ref,  # [1, KV_BLOCK, D]
     v_ref,
-    q_ref,  # ANY [BH, Lq, D]
-    do_ref,  # ANY
-    lse_ref,  # ANY [BH, nQt, 8, q_block] f32 tiles
-    delta_ref,  # ANY
-    glse_ref,  # ANY
+    qdo_ref,  # ANY packed [BH, nQt, 2*q_block, D]
+    stats_ref,  # ANY packed [BH, nQt, 24, q_block] f32 (lse/delta/glse tiles)
     dk_ref, dv_ref,
-    idxbuf, qbuf, dobuf, rowbuf, sem, idx_sem,
+    idxbuf,  # SMEM (2, 8, maxQ)
+    qdobuf,  # VMEM (NBUF, GROUP_Q, 2*q_block, D)
+    statbuf,  # VMEM (NBUF, GROUP_Q, 24, q_block) f32
+    sem, idx_sem,
     *, scale, bias, kv_valid_len, kv_pad_len, q_block,
 ):
+    """Grouped dK/dV: gathers GROUP_Q selected (q, dO, stats) block records
+    (2 DMAs per block) per iteration, keyed on the transposed mask lists."""
     bh = pl.program_id(0)
     ki = pl.program_id(1)
+    n_kt = pl.num_programs(1)
     count = tcnt_ref[bh, ki]
+    iters = pl.cdiv(count, GROUP_Q)
+    flat = bh * n_kt + ki
+    par = jax.lax.rem(flat, 2)
+    nxt_par = jax.lax.rem(flat + 1, 2)
 
-    idx_dma = pltpu.make_async_copy(tidx_hbm.at[bh, ki], idxbuf, idx_sem)
-    idx_dma.start()
-    idx_dma.wait()
-
-    def q_copy(slot, t):
-        blk = idxbuf[0, t]
+    def idx_copy(buf_par, b_i, k_i):
         return pltpu.make_async_copy(
-            q_ref.at[bh, pl.ds(blk * q_block, q_block), :], qbuf.at[slot], sem.at[slot, 0]
+            tidx_hbm.at[b_i, k_i], idxbuf.at[buf_par], idx_sem.at[buf_par]
         )
 
-    def do_copy(slot, t):
-        blk = idxbuf[0, t]
+    @pl.when(flat == 0)
+    def _first():
+        idx_copy(par, bh, ki).start()
+    idx_copy(par, bh, ki).wait()
+    nxt_ki = jax.lax.rem(ki + 1, n_kt)
+    nxt_bh = bh + jnp.where(ki + 1 == n_kt, 1, 0)
+
+    @pl.when(nxt_bh < pl.num_programs(0))
+    def _next():
+        idx_copy(nxt_par, nxt_bh, nxt_ki).start()
+
+    def qdo_copy(slot, t, u):
+        blk = idxbuf[par, 0, GROUP_Q * t + u]
         return pltpu.make_async_copy(
-            do_ref.at[bh, pl.ds(blk * q_block, q_block), :], dobuf.at[slot], sem.at[slot, 1]
+            qdo_ref.at[bh, blk], qdobuf.at[slot, u], sem.at[slot, 2 * u]
         )
 
-    def stats_copy(slot, t, which, ref):
-        blk = idxbuf[0, t]
+    def stats_copy(slot, t, u):
+        blk = idxbuf[par, 0, GROUP_Q * t + u]
         return pltpu.make_async_copy(
-            ref.at[bh, blk], rowbuf.at[slot, which], sem.at[slot, 2 + which]
+            stats_ref.at[bh, blk], statbuf.at[slot, u], sem.at[slot, 2 * u + 1]
         )
 
-    def start_all(slot, t):
-        q_copy(slot, t).start()
-        do_copy(slot, t).start()
-        stats_copy(slot, t, 0, lse_ref).start()
-        stats_copy(slot, t, 1, delta_ref).start()
-        stats_copy(slot, t, 2, glse_ref).start()
+    def prefetch(t):
+        @pl.when(t < iters)
+        def _():
+            slot = jax.lax.rem(t, NBUF)
+            for u in range(GROUP_Q):
+                qdo_copy(slot, t, u).start()
+                stats_copy(slot, t, u).start()
 
-    def wait_all(slot, t):
-        q_copy(slot, t).wait()
-        do_copy(slot, t).wait()
-        stats_copy(slot, t, 0, lse_ref).wait()
-        stats_copy(slot, t, 1, delta_ref).wait()
-        stats_copy(slot, t, 2, glse_ref).wait()
-
-    @pl.when(count > 0)
-    def _warmup():
-        start_all(0, 0)
+    for t0 in range(NBUF):
+        prefetch(t0)
 
     kb = k_ref[0]
     vb = v_ref[0]
     d = k_ref.shape[-1]
+    rows = GROUP_Q * q_block
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, KV_BLOCK), 0)
+    rgrp = row // q_block
 
     def body(t, carry):
         dk, dv = carry
-        slot = jax.lax.rem(t, 2)
-        nxt = jax.lax.rem(t + 1, 2)
-
-        @pl.when(t + 1 < count)
-        def _prefetch():
-            start_all(nxt, t + 1)
-
-        wait_all(slot, t)
-        qb = qbuf[slot]
-        dob = dobuf[slot]
-        lse = jnp.transpose(rowbuf[slot, 0, 0:1, :], (1, 0))
-        rest = jnp.transpose(rowbuf[slot, 2, 0:1, :] - rowbuf[slot, 1, 0:1, :], (1, 0))
+        slot = jax.lax.rem(t, NBUF)
+        for u in range(GROUP_Q):
+            qdo_copy(slot, t, u).wait()
+            stats_copy(slot, t, u).wait()
+        qdo = qdobuf[slot]  # [GROUP_Q, 2*q_block, D]
+        qb = qdo[:, :q_block, :].reshape(rows, d)
+        dob = qdo[:, q_block:, :].reshape(rows, d)
+        st = statbuf[slot]  # [GROUP_Q, 24, q_block]
+        lse = jnp.concatenate(
+            [jnp.transpose(st[u, 0:1, :], (1, 0)) for u in range(GROUP_Q)],
+            axis=0,
+        )  # [rows, 1]
+        rest = jnp.concatenate(
+            [
+                jnp.transpose(st[u, 16:17, :] - st[u, 8:9, :], (1, 0))
+                for u in range(GROUP_Q)
+            ],
+            axis=0,
+        )
         s = jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s * scale + bias
+        ok = (GROUP_Q * t + rgrp) < count
         if kv_valid_len < kv_pad_len:
-            s = _tail_mask(s, ki * KV_BLOCK, kv_valid_len)
+            colk = jax.lax.broadcasted_iota(jnp.int32, (rows, KV_BLOCK), 1)
+            ok = ok & (ki * KV_BLOCK + colk < kv_valid_len)
+        s = jnp.where(ok, s, NEG_INF)
         p = jnp.exp(s - lse)
         dv_part = jax.lax.dot_general(
             p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
@@ -485,11 +534,12 @@ def _sparse_dkv_kernel(
         dk_part = jax.lax.dot_general(
             ds, qb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
+        prefetch(t + NBUF)
         return dk + dk_part, dv + dv_part
 
     dk0 = jnp.zeros((KV_BLOCK, d), jnp.float32)
     dv0 = jnp.zeros((KV_BLOCK, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, count, body, (dk0, dv0))
+    dk, dv = jax.lax.fori_loop(0, iters, body, (dk0, dv0))
     dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -668,6 +718,11 @@ def _bwd_call(
     max_k = kv_idx.shape[-1]
     max_q = t_idx.shape[-1]
 
+    kv_packed = jnp.concatenate(
+        [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
+        axis=2,
+    )
+
     dq_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh, n_qt),
@@ -679,15 +734,13 @@ def _bwd_call(
             pl.BlockSpec((1, 8, q_block), lambda b, i, *_: (b, 0, i)),
             pl.BlockSpec((1, 8, q_block), lambda b, i, *_: (b, 0, i)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
         scratch_shapes=[
-            pltpu.SMEM((8, max_k), jnp.int32),
-            pltpu.VMEM((2, KV_BLOCK, d), k.dtype),
-            pltpu.VMEM((2, KV_BLOCK, d), v.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2, 8, max_k), jnp.int32),
+            pltpu.VMEM((NBUF, GROUP, 2 * KV_BLOCK, d), k.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dq = pl.pallas_call(
@@ -695,7 +748,18 @@ def _bwd_call(
         grid_spec=dq_grid,
         out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
         interpret=interpret,
-    )(kv_cnt, kv_idx, q, g_out, rep8(lse_f), rep8(delta), rep8(g_lse), k, v)
+    )(kv_cnt, kv_idx, q, g_out, rep8(lse_f), rep8(delta), rep8(g_lse), kv_packed)
+
+    # Packed per-q-block records for the dK/dV gather: [q; dO] and the three
+    # stat tiles stacked on sublanes.
+    qdo_packed = jnp.concatenate(
+        [q.reshape(bh, n_qt, q_block, d),
+         g_out.astype(q.dtype).reshape(bh, n_qt, q_block, d)],
+        axis=2,
+    )
+    stats_packed = jnp.concatenate(
+        [tiles4(lse_f), tiles4(delta), tiles4(g_lse)], axis=2
+    )  # [BH, nQt, 24, q_block]
 
     dkv_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -706,21 +770,17 @@ def _bwd_call(
             pl.BlockSpec((1, KV_BLOCK, d), lambda b, i, *_: (b, i, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
             pl.BlockSpec((1, KV_BLOCK, d), lambda b, i, *_: (b, i, 0)),
             pl.BlockSpec((1, KV_BLOCK, d), lambda b, i, *_: (b, i, 0)),
         ],
         scratch_shapes=[
-            pltpu.SMEM((8, max_q), jnp.int32),
-            pltpu.VMEM((2, q_block, d), q.dtype),
-            pltpu.VMEM((2, q_block, d), g_out.dtype),
-            pltpu.VMEM((2, 3, 8, q_block), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 5)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2, 8, max_q), jnp.int32),
+            pltpu.VMEM((NBUF, GROUP_Q, 2 * q_block, d), q.dtype),
+            pltpu.VMEM((NBUF, GROUP_Q, 24, q_block), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF, 2 * GROUP_Q)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dk, dv = pl.pallas_call(
@@ -731,7 +791,7 @@ def _bwd_call(
             jax.ShapeDtypeStruct((bh, lk_pad, d), v.dtype),
         ],
         interpret=interpret,
-    )(t_cnt, t_idx, k, v, q, g_out, tiles4(lse_f), tiles4(delta), tiles4(g_lse))
+    )(t_cnt, t_idx, k, v, qdo_packed, stats_packed)
     return dq, dk, dv
 
 
