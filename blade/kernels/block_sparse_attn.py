@@ -211,7 +211,7 @@ def _sparse_fwd_kernel(
     cnt_ref,  # scalar prefetch [BH, nQt] int32
     idx_hbm,  # [BH, nQt, 8, maxK] int32 (HBM, row-replicated tiles)
     q_ref,  # [1, q_block, D]
-    kv_ref,  # ANY: packed [BH, nK, 2*KV_BLOCK, D] (K rows then V rows)
+    kv_ref,  # ANY: packed [BH, nK * 2*KV_BLOCK, D] (per-block K rows then V)
     o_ref,
     lse_ref,  # [1, 8, q_block]
     idxbuf,  # SMEM (2, 8, maxK) int32 (double-buffered across grid steps)
@@ -255,8 +255,10 @@ def _sparse_fwd_kernel(
 
     def kv_copy(slot, t, u):
         blk = idxbuf[par, 0, segs * t + u]
+        rec = 2 * seg_rows
         return pltpu.make_async_copy(
-            kv_ref.at[bh, blk], kvbuf.at[slot, u], sem.at[slot, u]
+            kv_ref.at[bh, pl.ds(blk * rec, rec), :], kvbuf.at[slot, u],
+            sem.at[slot, u],
         )
 
     # Deep DMA pipeline: up to NBUF group-fetches in flight.
@@ -324,7 +326,7 @@ def _sparse_dq_kernel(
     cnt_ref,
     idx_hbm,  # [BH, nQt, 8, maxK]
     q_ref, do_ref, lse_ref, delta_ref, glse_ref,  # tiles via BlockSpec
-    kv_ref,  # ANY packed [BH, nK, 2*KV_BLOCK, D]
+    kv_ref,  # ANY packed [BH, nK * 2*KV_BLOCK, D]
     dq_ref,
     idxbuf,  # SMEM (2, 8, maxK)
     kvbuf,  # VMEM (NBUF, GROUP, 2*KV_BLOCK, D)
@@ -360,8 +362,10 @@ def _sparse_dq_kernel(
 
     def kv_copy(slot, t, u):
         blk = idxbuf[par, 0, GROUP * t + u]
+        rec = 2 * KV_BLOCK
         return pltpu.make_async_copy(
-            kv_ref.at[bh, blk], kvbuf.at[slot, u], sem.at[slot, u]
+            kv_ref.at[bh, pl.ds(blk * rec, rec), :], kvbuf.at[slot, u],
+            sem.at[slot, u],
         )
 
     def prefetch(t):
@@ -426,8 +430,8 @@ def _sparse_dkv_kernel(
     tidx_hbm,  # [BH, nKt, 8, maxQ]
     k_ref,  # [1, KV_BLOCK, D]
     v_ref,
-    qdo_ref,  # ANY packed [BH, nQt, 2*q_block, D]
-    stats_ref,  # ANY packed [BH, nQt, 24, q_block] f32 (lse/delta/glse tiles)
+    qdo_ref,  # ANY packed [BH, nQt * 2*q_block, D]
+    stats_ref,  # ANY packed [BH, nQt * 24, q_block] f32 (lse/delta/glse tiles)
     dk_ref, dv_ref,
     idxbuf,  # SMEM (2, 8, maxQ)
     qdobuf,  # VMEM (NBUF, GROUP_Q, 2*q_block, D)
@@ -464,14 +468,17 @@ def _sparse_dkv_kernel(
 
     def qdo_copy(slot, t, u):
         blk = idxbuf[par, 0, GROUP_Q * t + u]
+        rec = 2 * q_block
         return pltpu.make_async_copy(
-            qdo_ref.at[bh, blk], qdobuf.at[slot, u], sem.at[slot, 2 * u]
+            qdo_ref.at[bh, pl.ds(blk * rec, rec), :], qdobuf.at[slot, u],
+            sem.at[slot, 2 * u],
         )
 
     def stats_copy(slot, t, u):
         blk = idxbuf[par, 0, GROUP_Q * t + u]
         return pltpu.make_async_copy(
-            stats_ref.at[bh, blk], statbuf.at[slot, u], sem.at[slot, 2 * u + 1]
+            stats_ref.at[bh, pl.ds(blk * 24, 24), :], statbuf.at[slot, u],
+            sem.at[slot, 2 * u + 1],
         )
 
     def prefetch(t):
@@ -608,11 +615,12 @@ def _fwd_call(q, k, v, lists, *, scale, bias, kv_valid_len, q_block, kv_tile,
 
     kv_idx, kv_cnt = lists
     max_k = kv_idx.shape[-1]
-    # Pack K and V per 128-block so each gather is a single DMA.
+    # Pack K and V per 128-block so each gather is a single DMA (flat 3D
+    # layout: lane dim stays == D so sub-128 head dims DMA cleanly).
     kv_packed = jnp.concatenate(
         [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
         axis=2,
-    )
+    ).reshape(bh, n_kt * 2 * KV_BLOCK, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh, n_qt),
@@ -721,7 +729,7 @@ def _bwd_call(
     kv_packed = jnp.concatenate(
         [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
         axis=2,
-    )
+    ).reshape(bh, n_kt * 2 * KV_BLOCK, d)
 
     dq_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -756,10 +764,10 @@ def _bwd_call(
         [q.reshape(bh, n_qt, q_block, d),
          g_out.astype(q.dtype).reshape(bh, n_qt, q_block, d)],
         axis=2,
-    )
+    ).reshape(bh, n_qt * 2 * q_block, d)
     stats_packed = jnp.concatenate(
         [tiles4(lse_f), tiles4(delta), tiles4(g_lse)], axis=2
-    )  # [BH, nQt, 24, q_block]
+    ).reshape(bh, n_qt * 24, q_block)
 
     dkv_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -896,6 +904,17 @@ def block_sparse_attention(
     if interpret is None:
         interpret = _interpret_default()
 
+    # Head dims below the 128-lane tile are zero-padded (exact for QK^T and
+    # PV; padded output lanes are sliced off, padded grads vanish).  Mosaic
+    # rejects sub-128-lane DMA slices otherwise (CogVideoX: d=64).
+    d_orig = d
+    if d < 128:
+        pad_d = 128 - d
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+        d = 128
+
     if block_mask is None:
         # Dense path: wide tiles (pipeline-efficient); padding masked below.
         q_block, kv_tile = _dense_tiles(lq, lk)
@@ -920,7 +939,7 @@ def block_sparse_attention(
 
     out, lse = _attn_with_lse(qp, kp, vp, mask, scale, bias, q_block, kv_tile,
                               lk, interpret)
-    out = out.reshape(b, h, lq_pad, d)[:, :, :lq]
+    out = out.reshape(b, h, lq_pad, d)[:, :, :lq, :d_orig]
     lse = lse.reshape(b, h, lq_pad)[:, :, :lq]
     return out, lse
 

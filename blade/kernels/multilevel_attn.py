@@ -55,7 +55,7 @@ def _vmem_level_kernel(
     cnt_ref,  # [BH, nQt] int32 (SMEM prefetch)
     idx_hbm,  # [BH, nQt, 8, maxK] int32 (HBM)
     q_ref,  # [1, q_block, D]
-    kv_ref,  # [1, nB, 2*seg_rows, D] VMEM (whole pooled pyramid, per bh)
+    kv_ref,  # [1, nB * 2*seg_rows, D] VMEM (whole pooled pyramid, per bh)
     o_ref,
     lse_ref,
     idxbuf,  # SMEM (2, 8, maxK)
@@ -100,9 +100,10 @@ def _vmem_level_kernel(
     def body(t, carry):
         m, l, acc = carry
         parts = []
+        rec = 2 * seg_rows
         for u in range(segs):
             blk = idxbuf[par, 0, segs * t + u]
-            parts.append(kv_ref[0, blk])  # [2*seg_rows, D] vector load
+            parts.append(kv_ref[0, pl.ds(blk * rec, rec), :])  # vector load
         kv = jnp.stack(parts)  # [segs, 2*seg_rows, D]
         kb = kv[:, :seg_rows, :].reshape(width, d)
         vb = kv[:, seg_rows:, :].reshape(width, d)
@@ -183,9 +184,9 @@ def pooled_level_attention(
             v_pool.reshape(bh, n_blocks, seg_rows, d),
         ],
         axis=2,
-    )
+    ).reshape(bh, n_blocks * 2 * seg_rows, d)
 
-    pyramid_bytes = kv_packed.shape[1] * kv_packed.shape[2] * d * kv_packed.dtype.itemsize
+    pyramid_bytes = kv_packed.shape[1] * d * kv_packed.dtype.itemsize
     use_vmem = pyramid_bytes <= 4 * 1024 * 1024  # per-(b,h) pyramid budget
 
     if use_vmem:
@@ -196,8 +197,8 @@ def pooled_level_attention(
                 pl.BlockSpec(memory_space=pltpu.HBM),
                 pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
                 pl.BlockSpec(
-                    (1, kv_packed.shape[1], kv_packed.shape[2], d),
-                    lambda b, i, *_: (b, 0, 0, 0),
+                    (1, kv_packed.shape[1], d),
+                    lambda b, i, *_: (b, 0, 0),
                 ),
             ],
             out_specs=[
@@ -282,6 +283,15 @@ def multilevel_attention(
     if interpret is None:
         interpret = _interpret_default()
 
+    # Sub-128 head dims: zero-pad once here (see block_sparse_attention).
+    d_orig = d
+    if d < 128:
+        pad_d = 128 - d
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+        d = 128
+
     # Level-1 pass: exact per-block attention via the binary sparse kernel.
     out1, lse1 = block_sparse_attention(
         q, k, v, levels == 1, scale=scale, interpret=interpret
@@ -313,4 +323,4 @@ def multilevel_attention(
         lses.append(lse_l)
 
     out, lse = merge_attention(outs, lses)
-    return out.astype(q.dtype), lse
+    return out[..., :d_orig].astype(q.dtype), lse
