@@ -332,6 +332,7 @@ def _sparse_dq_kernel(
     kvbuf,  # VMEM (NBUF, GROUP, 2*KV_BLOCK, D)
     sem, idx_sem,
     *, scale, bias, kv_valid_len, kv_pad_len, q_block,
+    seg_rows=KV_BLOCK, segs=GROUP,
 ):
     """Grouped dQ: gathers GROUP selected K/V blocks (packed, one DMA each)
     per iteration, mirroring the forward kernel's pipeline."""
@@ -339,7 +340,7 @@ def _sparse_dq_kernel(
     qi = pl.program_id(1)
     n_qt = pl.num_programs(1)
     count = cnt_ref[bh, qi]
-    iters = pl.cdiv(count, GROUP)
+    iters = pl.cdiv(count, segs)
     flat = bh * n_qt + qi
     par = jax.lax.rem(flat, 2)
     nxt_par = jax.lax.rem(flat + 1, 2)
@@ -361,8 +362,8 @@ def _sparse_dq_kernel(
         idx_copy(nxt_par, nxt_bh, nxt_qi).start()
 
     def kv_copy(slot, t, u):
-        blk = idxbuf[par, 0, GROUP * t + u]
-        rec = 2 * KV_BLOCK
+        blk = idxbuf[par, 0, segs * t + u]
+        rec = 2 * seg_rows
         return pltpu.make_async_copy(
             kv_ref.at[bh, pl.ds(blk * rec, rec), :], kvbuf.at[slot, u],
             sem.at[slot, u],
@@ -372,7 +373,7 @@ def _sparse_dq_kernel(
         @pl.when(t < iters)
         def _():
             slot = jax.lax.rem(t, NBUF)
-            for u in range(GROUP):
+            for u in range(segs):
                 kv_copy(slot, t, u).start()
 
     for t0 in range(NBUF):
@@ -383,28 +384,28 @@ def _sparse_dq_kernel(
     lse = jnp.transpose(lse_ref[0, 0:1, :], (1, 0))
     rest = jnp.transpose(glse_ref[0, 0:1, :] - delta_ref[0, 0:1, :], (1, 0))
     d = q_ref.shape[-1]
-    width = GROUP * KV_BLOCK
+    width = segs * seg_rows
     col = jax.lax.broadcasted_iota(jnp.int32, (q_block, width), 1)
-    lane = col % KV_BLOCK
-    grp = col // KV_BLOCK
+    lane = col % seg_rows
+    grp = col // seg_rows
 
     def body(t, dq):
         slot = jax.lax.rem(t, NBUF)
-        for u in range(GROUP):
+        for u in range(segs):
             kv_copy(slot, t, u).wait()
         kv = kvbuf[slot]
-        kb = kv[:, :KV_BLOCK, :].reshape(width, d)
-        vb = kv[:, KV_BLOCK:, :].reshape(width, d)
+        kb = kv[:, :seg_rows, :].reshape(width, d)
+        vb = kv[:, seg_rows:, :].reshape(width, d)
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s * scale + bias
-        ok = (GROUP * t + grp) < count
+        ok = (segs * t + grp) < count
         if kv_valid_len < kv_pad_len:
             src_col = jnp.zeros((q_block, width), jnp.int32)
-            for u in range(GROUP):
-                blk_u = idxbuf[par, 0, GROUP * t + u]
-                src_col = jnp.where(grp == u, blk_u * KV_BLOCK + lane, src_col)
+            for u in range(segs):
+                blk_u = idxbuf[par, 0, segs * t + u]
+                src_col = jnp.where(grp == u, blk_u * seg_rows + lane, src_col)
             ok = ok & (src_col < kv_valid_len)
         s = jnp.where(ok, s, NEG_INF)
         p = jnp.exp(s - lse)
@@ -438,6 +439,7 @@ def _sparse_dkv_kernel(
     statbuf,  # VMEM (NBUF, GROUP_Q, 24, q_block) f32
     sem, idx_sem,
     *, scale, bias, kv_valid_len, kv_pad_len, q_block,
+    kv_rows=KV_BLOCK,
 ):
     """Grouped dK/dV: gathers GROUP_Q selected (q, dO, stats) block records
     (2 DMAs per block) per iteration, keyed on the transposed mask lists."""
@@ -496,7 +498,7 @@ def _sparse_dkv_kernel(
     vb = v_ref[0]
     d = k_ref.shape[-1]
     rows = GROUP_Q * q_block
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, KV_BLOCK), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, kv_rows), 0)
     rgrp = row // q_block
 
     def body(t, carry):
@@ -526,8 +528,8 @@ def _sparse_dkv_kernel(
         s = s * scale + bias
         ok = (GROUP_Q * t + rgrp) < count
         if kv_valid_len < kv_pad_len:
-            colk = jax.lax.broadcasted_iota(jnp.int32, (rows, KV_BLOCK), 1)
-            ok = ok & (ki * KV_BLOCK + colk < kv_valid_len)
+            colk = jax.lax.broadcasted_iota(jnp.int32, (rows, kv_rows), 1)
+            ok = ok & (ki * kv_rows + colk < kv_valid_len)
         s = jnp.where(ok, s, NEG_INF)
         p = jnp.exp(s - lse)
         dv_part = jax.lax.dot_general(
@@ -544,8 +546,8 @@ def _sparse_dkv_kernel(
         prefetch(t + NBUF)
         return dk + dk_part, dv + dv_part
 
-    dk0 = jnp.zeros((KV_BLOCK, d), jnp.float32)
-    dv0 = jnp.zeros((KV_BLOCK, d), jnp.float32)
+    dk0 = jnp.zeros((kv_rows, d), jnp.float32)
+    dv0 = jnp.zeros((kv_rows, d), jnp.float32)
     dk, dv = jax.lax.fori_loop(0, iters, body, (dk0, dv0))
     dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
@@ -958,3 +960,127 @@ def flash_attention(
     return block_sparse_attention(
         q, k, v, None, scale=scale, bias=bias, q_block=q_block, interpret=interpret
     )
+
+
+def gather_backward(
+    q, k, v, out, lse, g_out, g_lse, lists, t_lists,
+    *, scale, bias, kv_valid_len, q_block=DEFAULT_Q_BLOCK,
+    seg_rows=KV_BLOCK, interpret=None,
+):
+    """Grouped-gather backward passes over (possibly pooled) K/V.
+
+    Generalization of the binary sparse backward used by the multi-level
+    pooled passes: K/V rows come in ``seg_rows``-row segments (one segment
+    per selected original 128-block at level ``128/seg_rows``), q/dO in
+    ``q_block``-row blocks.  ``lists``/``t_lists`` are the (padded index,
+    count) pairs in original-block coordinates for the forward and
+    transposed directions.  Returns ``(dq, dk, dv)``.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    bh, lq, d = q.shape
+    lp = k.shape[1]
+    n_qt = lq // q_block
+    n_blocks = lp // seg_rows
+    segs = max(512 // seg_rows, 1)
+    kw = _common_kwargs(scale, bias, kv_valid_len, lp + 1, q_block)
+
+    delta = jnp.sum(g_out.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    g_lse = g_lse.astype(jnp.float32)
+    lse_f = lse.astype(jnp.float32)
+
+    def rep8(x):
+        return jnp.broadcast_to(x[:, None, :], (x.shape[0], 8, x.shape[1]))
+
+    def tiles4(x):
+        return jnp.broadcast_to(
+            x.reshape(bh, n_qt, 1, q_block), (bh, n_qt, 8, q_block)
+        )
+
+    def pad_to_segs(idx, n):
+        m = idx.shape[-1]
+        if m % n:
+            idx = jnp.pad(idx, ((0, 0), (0, 0), (0, 0), (0, n - m % n)),
+                          mode="edge")
+        return idx
+
+    kv_idx, kv_cnt = lists
+    kv_idx = pad_to_segs(kv_idx, segs)
+    t_idx, t_cnt = t_lists
+    t_idx = pad_to_segs(t_idx, GROUP_Q)
+    max_k = kv_idx.shape[-1]
+    max_q = t_idx.shape[-1]
+
+    kv_packed = jnp.concatenate(
+        [k.reshape(bh, n_blocks, seg_rows, d), v.reshape(bh, n_blocks, seg_rows, d)],
+        axis=2,
+    ).reshape(bh, n_blocks * 2 * seg_rows, d)
+
+    dq_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, n_qt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, 8, q_block), lambda b, i, *_: (b, 0, i)),
+            pl.BlockSpec((1, 8, q_block), lambda b, i, *_: (b, 0, i)),
+            pl.BlockSpec((1, 8, q_block), lambda b, i, *_: (b, 0, i)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.SMEM((2, 8, max_k), jnp.int32),
+            pltpu.VMEM((NBUF, segs, 2 * seg_rows, d), k.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, segs)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dq = pl.pallas_call(
+        functools.partial(_sparse_dq_kernel, seg_rows=seg_rows, segs=segs, **kw),
+        grid_spec=dq_grid,
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        interpret=interpret,
+    )(kv_cnt, kv_idx, q, g_out, rep8(lse_f), rep8(delta), rep8(g_lse), kv_packed)
+
+    qdo_packed = jnp.concatenate(
+        [q.reshape(bh, n_qt, q_block, d),
+         g_out.astype(q.dtype).reshape(bh, n_qt, q_block, d)],
+        axis=2,
+    ).reshape(bh, n_qt * 2 * q_block, d)
+    stats_packed = jnp.concatenate(
+        [tiles4(lse_f), tiles4(delta), tiles4(g_lse)], axis=2
+    ).reshape(bh, n_qt * 24, q_block)
+
+    dkv_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, seg_rows, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, seg_rows, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, seg_rows, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, seg_rows, d), lambda b, i, *_: (b, i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2, 8, max_q), jnp.int32),
+            pltpu.VMEM((NBUF, GROUP_Q, 2 * q_block, d), q.dtype),
+            pltpu.VMEM((NBUF, GROUP_Q, 24, q_block), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF, 2 * GROUP_Q)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_sparse_dkv_kernel, kv_rows=seg_rows, **kw),
+        grid_spec=dkv_grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lp, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, lp, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(t_cnt, t_idx, k, v, qdo_packed, stats_packed)
+    return dq, dk, dv

@@ -19,9 +19,10 @@ kernel.  This turns 1.6k lines of handwritten Triton into one parameterized
 kernel + composition, and every level pass runs dense 128-wide matmuls on
 the MXU.
 
-The multi-level path is inference-only in the reference pipeline (the
-training path uses the binary + pooled-branch fusion); this kernel is
-forward-only.
+Fully differentiable: each level pass carries a custom VJP running the
+grouped-gather dQ/dK/dV kernels in pooled coordinates, and the pyramid
+pooling / LSE merge differentiate through XLA (the reference dedicates
+~800 Triton lines to this backward).
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ from blade.kernels.block_sparse_attn import (
     _sparse_fwd_kernel,
     _tile_lists,
     block_sparse_attention,
+    gather_backward,
 )
 from blade.kernels.ref_attention import mean_pool_kv, merge_attention
 
@@ -159,10 +161,61 @@ def pooled_level_attention(
     level L corresponds to a ``128/L``-row segment of the pooled K/V; each
     iteration gathers ``tile_width/ (128/L)`` selected segments (packed K+V,
     one DMA each) into a ``tile_width``-wide MXU tile with a ``+log(L)``
-    score bias.
+    score bias.  Differentiable: the backward runs the grouped-gather dQ and
+    dK/dV passes in pooled coordinates (the reference ships a handwritten
+    Triton backward for this; here it is the same parameterized kernel).
     """
     if interpret is None:
         interpret = _interpret_default()
+    return _pooled_level_core(
+        q, k_pool, v_pool, block_mask, level, scale, pooled_valid_len,
+        q_block, tile_width, interpret,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _pooled_level_core(q, k_pool, v_pool, block_mask, level, scale,
+                       pooled_valid_len, q_block, tile_width, interpret):
+    out, lse = _pooled_level_fwd_only(
+        q, k_pool, v_pool, block_mask, level, scale, pooled_valid_len,
+        q_block, tile_width, interpret,
+    )
+    return out, lse
+
+
+def _pooled_level_core_fwd(q, k_pool, v_pool, block_mask, level, scale,
+                           pooled_valid_len, q_block, tile_width, interpret):
+    out, lse = _pooled_level_fwd_only(
+        q, k_pool, v_pool, block_mask, level, scale, pooled_valid_len,
+        q_block, tile_width, interpret,
+    )
+    return (out, lse), (q, k_pool, v_pool, block_mask, out, lse)
+
+
+def _pooled_level_core_bwd(level, scale, pooled_valid_len, q_block, tile_width,
+                           interpret, res, g):
+    q, k_pool, v_pool, block_mask, out, lse = res
+    g_out, g_lse = g
+    seg_rows = KV_BLOCK // level
+    lists = _tile_lists(*mask_to_block_lists(block_mask))
+    t_lists = _tile_lists(
+        *mask_to_block_lists(jnp.swapaxes(block_mask, -1, -2))
+    )
+    dq, dk, dv = gather_backward(
+        q, k_pool, v_pool, out, lse, g_out, g_lse, lists, t_lists,
+        scale=scale, bias=float(math.log(level)),
+        kv_valid_len=pooled_valid_len, q_block=q_block, seg_rows=seg_rows,
+        interpret=interpret,
+    )
+    dmask = np.zeros(block_mask.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dmask
+
+
+_pooled_level_core.defvjp(_pooled_level_core_fwd, _pooled_level_core_bwd)
+
+
+def _pooled_level_fwd_only(q, k_pool, v_pool, block_mask, level, scale,
+                           pooled_valid_len, q_block, tile_width, interpret):
     bh, lq, d = q.shape
     n_qt = lq // q_block
     seg_rows = KV_BLOCK // level
@@ -273,8 +326,8 @@ def multilevel_attention(
     """Multi-level pooled sparse attention over ``[B, H, L, D]``.
 
     ``levels``: int ``[B, H, n_q, n_k]`` in {0, 1, 2, 4, 8} (see
-    ``blade.attention.masks.multilevel_mask``).  Returns ``(out, lse)``.
-    Forward-only (inference path).
+    ``blade.attention.masks.multilevel_mask``).  Returns ``(out, lse)``;
+    differentiable in q/k/v.
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]

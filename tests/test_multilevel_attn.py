@@ -54,3 +54,24 @@ def test_single_level_band():
     ref_out, ref_lse = multilevel_block_attention_reference(q, k, v, levels)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=3e-5, rtol=3e-5)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-5, rtol=2e-5)
+
+
+def test_multilevel_gradients_match_reference():
+    q, k, v = _qkv(jax.random.PRNGKey(5), l=512, d=64)
+    levels = _levels_from_scores(jax.random.PRNGKey(6), 1, 2, 4, 4)
+
+    def loss_kernel(q, k, v):
+        out, lse = multilevel_attention(q, k, v, levels, interpret=True)
+        return jnp.sum(jnp.sin(out)) + 0.05 * jnp.sum(lse)
+
+    def loss_ref(q, k, v):
+        out, lse = multilevel_block_attention_reference(q, k, v, levels)
+        return jnp.sum(jnp.sin(out)) + 0.05 * jnp.sum(lse)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
+            err_msg=f"d{name}",
+        )
