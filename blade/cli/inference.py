@@ -29,6 +29,9 @@ def get_args():
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--guidance_scale", type=float, default=1.0)
+    p.add_argument("--negative_prompt", type=str, default=None,
+                   help="used when guidance_scale > 1 (wan default negative "
+                        "prompt lives in blade.cli.process_prompts)")
     p.add_argument("--seed", type=int, default=8888)
     p.add_argument("--sparse", action="store_true", default=True)
     p.add_argument("--dense", dest="sparse", action="store_false")
@@ -117,10 +120,26 @@ def main():
             else:
                 ids, mask = tokenize(preset, [prompt])
             text = pipe.encode_prompts(ids, mask)
+            neg = None
+            if args.guidance_scale and args.guidance_scale != 1.0:
+                from blade.cli.process_prompts import WAN_NEGATIVE
+
+                neg_prompt = args.negative_prompt or (
+                    WAN_NEGATIVE if preset.name == "wan" else " "
+                )
+                if args.random_init:
+                    nids = jnp.asarray(
+                        np.random.default_rng(abs(hash(neg_prompt)) % 2**31)
+                        .integers(1, 100, (1, preset.max_text_len))
+                    )
+                    neg = pipe.encode_prompts(nids, jnp.ones_like(nids))
+                else:
+                    nids, nmask = tokenize(preset, [neg_prompt])
+                    neg = pipe.encode_prompts(nids, nmask)
             frames = pipe.generate(
                 text, rng=jax.random.PRNGKey(args.seed + i),
                 num_steps=args.steps, guidance_scale=args.guidance_scale,
-                tiled_vae=args.tiled_vae,
+                neg_text_embeds=neg, tiled_vae=args.tiled_vae,
             )
             path = os.path.join(args.output_dir, f"video_{i:04d}.mp4")
             out = export_video(np.asarray(frames[0]), path, fps=preset.video.fps)

