@@ -68,14 +68,11 @@ def main():
             return pipe.encode_prompts(ids, mask)
 
     def generate_fn(embeds, seeds):
-        outs = []
-        for i in range(embeds.shape[0]):
-            frames = pipe.generate(
-                embeds[i : i + 1], rng=jax.random.PRNGKey(int(seeds[i])),
-                num_steps=cfg.num_steps, guidance_scale=cfg.guidance_scale,
-            )
-            outs.append(np.asarray(frames[0]))
-        return np.stack(outs)
+        frames = pipe.generate_batch(
+            embeds, seeds, num_steps=cfg.num_steps,
+            guidance_scale=cfg.guidance_scale,
+        )
+        return np.asarray(frames)
 
     stats = run_sampler(generate_fn, embeds_fn, prompts, cfg)
     print(json.dumps(stats))

@@ -143,6 +143,55 @@ class T2VPipeline:
         )
         return self.decode_latents(latents, tiled=tiled_vae)
 
+    def generate_batch(
+        self,
+        text_embeds,
+        seeds,
+        *,
+        num_steps: int = 8,
+        guidance_scale: float = 1.0,
+        neg_text_embeds=None,
+        tiled_vae: bool = False,
+    ):
+        """Batched generation with independent per-sample seeds (the eval
+        sampler's contract: seed = base + prompt_idx*1000 + video_idx).
+
+        The initial noise is drawn per sample from its own key; the sampler
+        itself is deterministic given the noise (the ASA subsampling uses a
+        key folded from seed 0 — shared across the batch, matching the
+        reference where torch's global RNG is shared too)."""
+        seeds = jnp.asarray(seeds, jnp.uint32)
+        b = text_embeds.shape[0]
+        single = self.latent_shape(1)[1:]
+
+        def one_noise(seed):
+            return jax.random.normal(
+                jax.random.PRNGKey(seed), single, jnp.float32
+            )
+
+        noise = jax.vmap(one_noise)(seeds).astype(self.dtype)
+        from blade.sampling.pipeline import sample_cogvideox, sample_wan
+        from blade.schedulers.ddpm import make_ddpm_schedule
+
+        rng = jax.random.PRNGKey(jnp.asarray(seeds)[0])
+        if self.preset.name == "wan":
+            latents = sample_wan(
+                self.model_fn(), noise, text_embeds, rng=rng,
+                num_steps=num_steps, flow_shift=self.preset.flow_shift or 3.0,
+                guidance_scale=guidance_scale, neg_text_embeds=neg_text_embeds,
+            )
+        else:
+            latents = sample_cogvideox(
+                self.model_fn(), noise, text_embeds, rng=rng,
+                num_steps=num_steps, guidance_scale=guidance_scale,
+                neg_text_embeds=neg_text_embeds,
+                ddpm_schedule=make_ddpm_schedule(
+                    snr_shift_scale=self.preset.snr_shift_scale,
+                    rescale_betas_zero_snr=self.preset.rescale_betas_zero_snr,
+                ),
+            )
+        return self.decode_latents(latents, tiled=tiled_vae)
+
     # ---------------------------------------------------------- init utils
     @classmethod
     def random_init(
