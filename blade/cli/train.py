@@ -62,6 +62,9 @@ def get_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--random-init", action="store_true")
+    p.add_argument("--remat", action="store_true", default=None,
+                   help="activation rematerialization in the DiT blocks "
+                        "(default: on for full-size presets)")
     return p.parse_args()
 
 
@@ -89,6 +92,8 @@ def main():
     if args.use_sparsity:
         attention_fn = make_asa_attention_fn(derive_asa_config(preset, "energy"))
     kwargs = {} if attention_fn is None else {"attention_fn": attention_fn}
+    remat = args.remat if args.remat is not None else not args.tiny
+    kwargs["remat"] = remat
     if preset.name == "wan":
         model = WanModel(preset.dit, dtype=dtype, **kwargs)
         family = tdm.flow_family(

@@ -52,6 +52,10 @@ from blade.kernels.ref_attention import mean_pool_kv, merge_attention
 
 __all__ = ["multilevel_attention", "pooled_level_attention"]
 
+# Pooled pyramids at or below this size stay VMEM-resident per (batch, head)
+# (gathers become register copies); above it they are DMA-gathered.
+VMEM_PYRAMID_BUDGET = 8 * 1024 * 1024
+
 
 def _vmem_level_kernel(
     cnt_ref,  # [BH, nQt] int32 (SMEM prefetch)
@@ -240,7 +244,7 @@ def _pooled_level_fwd_only(q, k_pool, v_pool, block_mask, level, scale,
     ).reshape(bh, n_blocks * 2 * seg_rows, d)
 
     pyramid_bytes = kv_packed.shape[1] * d * kv_packed.dtype.itemsize
-    use_vmem = pyramid_bytes <= 4 * 1024 * 1024  # per-(b,h) pyramid budget
+    use_vmem = pyramid_bytes <= VMEM_PYRAMID_BUDGET
 
     if use_vmem:
         grid_spec = pltpu.PrefetchScalarGridSpec(
