@@ -62,6 +62,10 @@ def get_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--random-init", action="store_true")
+    p.add_argument("--video", type=int, nargs=3, metavar=("F", "H", "W"),
+                   default=None,
+                   help="override frames/height/width (e.g. 17 240 416 for "
+                        "memory-constrained single-chip runs)")
     p.add_argument("--remat", action="store_true", default=None,
                    help="activation rematerialization in the DiT blocks "
                         "(default: on for full-size presets)")
@@ -87,6 +91,13 @@ def main():
     else:
         preset = C.WAN_480P if args.family == "wan" else C.COGVIDEOX_480P
         dtype = jnp.bfloat16
+    if args.video:
+        import dataclasses as _dc
+
+        f_, h_, w_ = args.video
+        preset = _dc.replace(
+            preset, video=C.VideoSpec(f_, h_, w_, preset.video.fps)
+        )
 
     attention_fn = None
     if args.use_sparsity:

@@ -53,9 +53,10 @@ NEG_INF = -1e30
 DEFAULT_Q_BLOCK = 128
 KV_BLOCK = 128
 # Dense path uses wide tiles: the MXU/pipeline overhead of 128x128 steps
-# dominates otherwise (measured 15 -> ~150 TFLOP/s on v5e with 512-tiles).
-DENSE_Q_TILE = 512
-DENSE_KV_TILE = 512
+# dominates otherwise (v5e, seq 32760: 128-tiles 440ms, 512-tiles 104ms,
+# 1024-tiles 49ms = 135 TFLOP/s).
+DENSE_Q_TILE = 1024
+DENSE_KV_TILE = 1024
 NBUF = 4  # sparse-gather DMA pipeline depth (group fetches)
 GROUP = 4  # 128-blocks gathered/attended per iteration
 

@@ -155,7 +155,8 @@ def ddim_trajectory_sampler(
         # Clamp for the final iteration (t_next < 0 is never *used*: the last
         # x0 is the output, but scan still gathers tables with it).
         x_next = D.add_noise(sched, x0, eps_mix, jnp.maximum(t_next, 0))
-        return (x_next, t_next), (x0, x_t)
+        x_next = x_next.astype(x_t.dtype)
+        return (x_next, t_next), (x0.astype(x_t.dtype), x_t)
 
     (x_last, _), (x0s, noisys) = jax.lax.scan(
         body, (noise, t0), jnp.arange(steps)

@@ -194,8 +194,9 @@ def k_step_trajectory(
             eps_hat.dtype
         )
         t_next = jnp.maximum(t - delta, 0)
-        x_next = family.add_noise(x0, eps_mix, t_next)
-        return (x_next, t - delta), (x0, x_t)
+        # keep the scan carry dtype stable (f32 sigma tables promote bf16)
+        x_next = family.add_noise(x0, eps_mix, t_next).astype(x_t.dtype)
+        return (x_next, t - delta), (x0.astype(x_t.dtype), x_t)
 
     (_, _), (x0s, noisys) = jax.lax.scan(body, (noise, t0), jnp.arange(k_step))
     noisy_full = jnp.concatenate([noisys, x0s[-1:]], axis=0)

@@ -168,3 +168,25 @@ def test_full_model_training_mode():
     for a, b in zip(jax.tree_util.tree_leaves(state.base_params),
                     jax.tree_util.tree_leaves(new_state.base_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trajectory_bf16_carry_stable():
+    """Scan carries must not promote bf16->f32 via the f32 sigma tables
+    (regression: full-size TDM smoke failed on the real chip)."""
+    model = WanModel(WAN_TINY, dtype=jnp.bfloat16)
+    lat_shape = (1, 16, 2, 8, 8)
+    text = jax.random.normal(jax.random.PRNGKey(0), (1, 8, WAN_TINY.text_dim),
+                             jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros(lat_shape, jnp.bfloat16),
+                        jnp.ones((1,)), text)
+
+    def apply_fn(p, x, t, txt, rng):
+        return model.apply(p, x, t, txt, attn_kwargs={"rng": rng})
+
+    family = tdm.flow_family(F.flow_training_sigmas(1000, 3.0))
+    noise = jax.random.normal(jax.random.PRNGKey(2), lat_shape, jnp.bfloat16)
+    x0s, noisy = jax.jit(lambda n: tdm.k_step_trajectory(
+        apply_fn, params, family, n, text, jax.random.PRNGKey(3),
+        k_step=2, eta=0.9))(noise)
+    assert x0s.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(x0s, np.float32)).all()
