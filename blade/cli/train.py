@@ -140,6 +140,14 @@ def main():
         from blade.convert.load import load_dit_params
 
         base_params = load_dit_params(args.weights, preset)
+    if not args.tiny:
+        # Frozen base lives in bf16: three merged roles of a 1.3B+ model in
+        # f32 would exhaust single-chip HBM (LoRA factors/optimizer stay f32).
+        base_params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            base_params,
+        )
 
     cfg = tdm.TDMConfig(
         k_step=args.k_step, eta=args.eta, cfg=args.cfg,

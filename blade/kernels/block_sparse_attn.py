@@ -58,7 +58,7 @@ KV_BLOCK = 128
 DENSE_Q_TILE = 1024
 DENSE_KV_TILE = 1024
 NBUF = 4  # sparse-gather DMA pipeline depth (group fetches)
-GROUP = 4  # 128-blocks gathered/attended per iteration
+GROUP = 8  # 128-blocks gathered/attended per iteration (1024-wide MXU tiles)
 
 
 def _interpret_default() -> bool:
@@ -219,7 +219,7 @@ def _sparse_fwd_kernel(
     kvbuf,  # VMEM (NBUF, segs, 2*seg_rows, D)
     sem, idx_sem,
     *, scale, bias, kv_valid_len, kv_pad_len, q_block,
-    seg_rows=KV_BLOCK, segs=GROUP,
+    seg_rows=KV_BLOCK, segs=None,
 ):
     """Grouped block-gather flash forward.
 
@@ -228,6 +228,8 @@ def _sparse_fwd_kernel(
     tile; invalid lanes (count remainder, padded tails) are masked.  Index
     lists for the *next* grid step are DMA'd while the current one computes.
     """
+    if segs is None:
+        segs = GROUP
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     n_qt = pl.num_programs(1)
@@ -333,10 +335,12 @@ def _sparse_dq_kernel(
     kvbuf,  # VMEM (NBUF, GROUP, 2*KV_BLOCK, D)
     sem, idx_sem,
     *, scale, bias, kv_valid_len, kv_pad_len, q_block,
-    seg_rows=KV_BLOCK, segs=GROUP,
+    seg_rows=KV_BLOCK, segs=None,
 ):
     """Grouped dQ: gathers GROUP selected K/V blocks (packed, one DMA each)
     per iteration, mirroring the forward kernel's pipeline."""
+    if segs is None:
+        segs = GROUP
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     n_qt = pl.num_programs(1)
