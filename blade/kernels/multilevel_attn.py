@@ -54,7 +54,7 @@ __all__ = ["multilevel_attention", "pooled_level_attention"]
 
 # Pooled pyramids at or below this size stay VMEM-resident per (batch, head)
 # (gathers become register copies); above it they are DMA-gathered.
-VMEM_PYRAMID_BUDGET = 8 * 1024 * 1024
+VMEM_PYRAMID_BUDGET = 6 * 1024 * 1024
 
 
 def _vmem_level_kernel(
