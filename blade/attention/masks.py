@@ -301,3 +301,28 @@ def mask_to_block_lists(mask: jnp.ndarray, max_blocks: int | None = None):
 def mask_density(mask: jnp.ndarray) -> jnp.ndarray:
     """Fraction of active blocks (1 - sparsity)."""
     return jnp.mean(mask.astype(jnp.float32))
+
+
+def union_block_lists(mask: jnp.ndarray, group: int = 2, max_blocks: int | None = None):
+    """Union key-block lists over groups of ``group`` adjacent mask rows.
+
+    For a 256-row query tile covering two 128-row mask rows, the kernel
+    gathers each key block once and applies per-row validity, halving K/V
+    traffic when adjacent rows select overlapping blocks (which the Gilbert
+    reordering encourages).
+
+    Returns ``(indices [..., n_q/group, max_u], counts [..., n_q/group],
+    valbits [..., n_q/group, max_u] int32)`` where bit ``r`` of ``valbits``
+    says whether mask row ``group*i + r`` selected that block.
+    """
+    *lead, n_q, n_k = mask.shape
+    assert n_q % group == 0
+    m = mask.reshape(*lead, n_q // group, group, n_k)
+    union = jnp.any(m, axis=-2)
+    idx, counts = mask_to_block_lists(union, max_blocks)
+    # Validity bits: gather each row's mask at the union indices.
+    bits = jnp.zeros(idx.shape, jnp.int32)
+    for r in range(group):
+        sel = jnp.take_along_axis(m[..., r, :], idx, axis=-1)
+        bits = bits | (sel.astype(jnp.int32) << r)
+    return idx, counts, bits

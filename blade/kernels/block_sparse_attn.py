@@ -325,6 +325,136 @@ def _sparse_fwd_kernel(
     lse_ref[0] = jnp.broadcast_to(jnp.transpose(lse, (1, 0)), lse_ref.shape[1:])
 
 
+QGROUP = 2  # mask rows sharing one gathered q tile (union gathering)
+# Union gathering helps only when adjacent mask rows overlap heavily (high
+# Gilbert locality); on uncorrelated masks the row-masked MXU waste loses
+# (measured 17.3 -> 30ms on iid masks). Off by default; flip per experiment.
+SPARSE_UNION = False
+
+
+def _sparse_fwd_union_kernel(
+    cnt_ref,  # [BH, nQt2] int32 (SMEM prefetch): union counts
+    idx_hbm,  # [BH, nQt2, 8, maxK] int32: (validity_bits << 16) | block_idx
+    q_ref,  # [1, QGROUP*128, D]
+    kv_ref,  # ANY packed [BH, nK * 2*KV_BLOCK, D]
+    o_ref,
+    lse_ref,  # [1, 8, QGROUP*128]
+    idxbuf,  # SMEM (2, 8, maxK)
+    kvbuf,  # VMEM (NBUF, GROUP, 2*KV_BLOCK, D)
+    sem, idx_sem,
+    *, scale, bias, kv_valid_len, kv_pad_len, q_block,
+):
+    """Union block-gather flash forward.
+
+    One 256-row query tile covers QGROUP=2 mask rows; each key block in the
+    UNION of their selections is fetched once, and per-row validity bits
+    (packed in the high half of the index word) mask the rows that did not
+    select it.  With Gilbert locality, adjacent rows overlap heavily, so
+    this nearly halves the gather traffic of the 128-row kernel while
+    computing exactly the reference mask semantics.
+    """
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    n_qt = pl.num_programs(1)
+    count = cnt_ref[bh, qi]
+    iters = pl.cdiv(count, GROUP)
+    flat = bh * n_qt + qi
+    par = jax.lax.rem(flat, 2)
+    nxt_par = jax.lax.rem(flat + 1, 2)
+
+    def idx_copy(buf_par, b_i, q_i):
+        return pltpu.make_async_copy(
+            idx_hbm.at[b_i, q_i], idxbuf.at[buf_par], idx_sem.at[buf_par]
+        )
+
+    @pl.when(flat == 0)
+    def _first_list():
+        idx_copy(par, bh, qi).start()
+    idx_copy(par, bh, qi).wait()
+    nxt_qi = jax.lax.rem(qi + 1, n_qt)
+    nxt_bh = bh + jnp.where(qi + 1 == n_qt, 1, 0)
+
+    @pl.when(nxt_bh < pl.num_programs(0))
+    def _next_list():
+        idx_copy(nxt_par, nxt_bh, nxt_qi).start()
+
+    def kv_copy(slot, t, u):
+        blk = idxbuf[par, 0, GROUP * t + u] & 0xFFFF
+        rec = 2 * KV_BLOCK
+        return pltpu.make_async_copy(
+            kv_ref.at[bh, pl.ds(blk * rec, rec), :], kvbuf.at[slot, u],
+            sem.at[slot, u],
+        )
+
+    def prefetch(t):
+        @pl.when(t < iters)
+        def _():
+            slot = jax.lax.rem(t, NBUF)
+            for u in range(GROUP):
+                kv_copy(slot, t, u).start()
+
+    for t0 in range(NBUF):
+        prefetch(t0)
+
+    rows = QGROUP * 128
+    q = q_ref[0]
+    d = q_ref.shape[-1]
+    width = GROUP * KV_BLOCK
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+    lane = col % KV_BLOCK
+    grp = col // KV_BLOCK
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
+    rbit = jnp.where(row < 128, 1, 2)  # which validity bit applies per row
+
+    def body(t, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(t, NBUF)
+        for u in range(GROUP):
+            kv_copy(slot, t, u).wait()
+        kv = kvbuf[slot]  # [GROUP, 2*KV_BLOCK, D]
+        kb = kv[:, :KV_BLOCK, :].reshape(width, d)
+        vb = kv[:, KV_BLOCK:, :].reshape(width, d)
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias
+        ok = (GROUP * t + grp) < count
+        # Per-row validity from the packed high bits + optional tail mask.
+        bits = jnp.zeros((rows, width), jnp.int32)
+        for u in range(GROUP):
+            entry = idxbuf[par, 0, GROUP * t + u]
+            bits = jnp.where(grp == u, entry >> 16, bits)
+        ok = ok & ((bits & rbit) > 0)
+        if kv_valid_len < kv_pad_len:
+            src_col = jnp.zeros((rows, width), jnp.int32)
+            for u in range(GROUP):
+                blk_u = idxbuf[par, 0, GROUP * t + u] & 0xFFFF
+                src_col = jnp.where(grp == u, blk_u * KV_BLOCK + lane, src_col)
+            ok = ok & (src_col < kv_valid_len)
+        s = jnp.where(ok, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * alpha + pv
+        prefetch(t + NBUF)
+        return m_new, l, acc
+
+    m0 = jnp.full((rows, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rows, 1), jnp.float32)
+    acc0 = jnp.zeros((rows, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, iters, body, (m0, l0, acc0))
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+    lse_ref[0] = jnp.broadcast_to(jnp.transpose(lse, (1, 0)), lse_ref.shape[1:])
+
+
 def _sparse_dq_kernel(
     cnt_ref,
     idx_hbm,  # [BH, nQt, 8, maxK]
@@ -620,25 +750,41 @@ def _fwd_call(q, k, v, lists, *, scale, bias, kv_valid_len, q_block, kv_tile,
         return out, lse8[:, 0, :]
     n_kt = lk_pad // KV_BLOCK
 
-    kv_idx, kv_cnt = lists
-    max_k = kv_idx.shape[-1]
-    # Pack K and V per 128-block so each gather is a single DMA (flat 3D
-    # layout: lane dim stays == D so sub-128 head dims DMA cleanly).
+    mask = lists  # masked path receives the [BH, nQt, nK] mask here
+    if not SPARSE_UNION:
+        return _fwd_call_direct(
+            q, k, v, mask, scale=scale, bias=bias, kv_valid_len=kv_valid_len,
+            q_block=q_block, interpret=interpret, kw=kw,
+        )
+    # Union gathering: 256-row q tiles over the union of each row pair's
+    # selections, validity bits packed above the 16-bit block index.
+    from blade.attention.masks import union_block_lists
+
+    u_idx, u_cnt, u_bits = union_block_lists(mask, group=QGROUP)
+    fused = (u_idx | (u_bits << 16)).astype(jnp.int32)
+    fused4, u_cnt = _tile_lists(fused, u_cnt)
+    if fused4.shape[-1] % GROUP:
+        padn = GROUP - fused4.shape[-1] % GROUP
+        fused4 = jnp.pad(fused4, ((0, 0), (0, 0), (0, 0), (0, padn)), mode="edge")
+    max_k = fused4.shape[-1]
+    n_qt2 = n_qt // QGROUP
+    rows = QGROUP * q_block
+
     kv_packed = jnp.concatenate(
         [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
         axis=2,
     ).reshape(bh, n_kt * 2 * KV_BLOCK, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh, n_qt),
+        grid=(bh, n_qt2),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # idx lists: HBM (row DMAs)
-            pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, rows, d), lambda b, i, *_: (b, i, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
-            pl.BlockSpec((1, 8, q_block), lambda b, i, *_: (b, 0, i)),
+            pl.BlockSpec((1, rows, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, 8, rows), lambda b, i, *_: (b, 0, i)),
         ],
         scratch_shapes=[
             pltpu.SMEM((2, 8, max_k), jnp.int32),
@@ -648,7 +794,7 @@ def _fwd_call(q, k, v, lists, *, scale, bias, kv_valid_len, q_block, kv_tile,
         ],
     )
     out, lse8 = pl.pallas_call(
-        functools.partial(_sparse_fwd_kernel, **kw),
+        functools.partial(_sparse_fwd_union_kernel, **kw),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
@@ -658,10 +804,10 @@ def _fwd_call(q, k, v, lists, *, scale, bias, kv_valid_len, q_block, kv_tile,
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * n_qt * q_block * max_k * KV_BLOCK * d,
             bytes_accessed=q.size * q.dtype.itemsize
-            + 2 * bh * n_qt * max_k * KV_BLOCK * d * k.dtype.itemsize,
+            + bh * n_qt2 * max_k * KV_BLOCK * d * k.dtype.itemsize,
             transcendentals=bh * lq * max_k * KV_BLOCK,
         ),
-    )(kv_cnt, kv_idx, q, kv_packed)
+    )(u_cnt, fused4, q, kv_packed)
     return out, lse8[:, 0, :]
 
 
@@ -844,9 +990,8 @@ def _lists_from_mask(mask):
 
 def _attn_core_fwd(q, k, v, mask, scale, bias, q_block, kv_tile, kv_valid_len,
                    interpret):
-    lists, _ = _lists_from_mask(mask)
     out, lse = _fwd_call(
-        q, k, v, lists,
+        q, k, v, mask,
         scale=scale, bias=bias, kv_valid_len=kv_valid_len, q_block=q_block,
         kv_tile=kv_tile, interpret=interpret,
     )
@@ -943,6 +1088,12 @@ def block_sparse_attention(
             raise NotImplementedError("q_block != 128 requires row-group masks (TODO)")
         assert n_qt_mask == lq_pad // q_block, (n_qt_mask, lq_pad, q_block)
         mask = block_mask.reshape(b * h, n_qt_mask, block_mask.shape[-1])
+        if n_qt_mask % 2:
+            # Union gathering pairs mask rows: pad with an empty row (the
+            # extra 128 q rows attend nothing and are sliced off).
+            mask = jnp.pad(mask, ((0, 0), (0, 1), (0, 0)))
+            qp = jnp.pad(qp, ((0, 0), (0, q_block), (0, 0)))
+            lq_pad += q_block
 
     out, lse = _attn_with_lse(qp, kp, vp, mask, scale, bias, q_block, kv_tile,
                               lk, interpret)
@@ -1089,3 +1240,56 @@ def gather_backward(
         interpret=interpret,
     )(t_cnt, t_idx, k, v, qdo_packed, stats_packed)
     return dq, dk, dv
+
+
+def _fwd_call_direct(q, k, v, mask, *, scale, bias, kv_valid_len, q_block,
+                     interpret, kw):
+    """128-row-tile grouped gather forward (default sparse path)."""
+    bh, lq, d = q.shape
+    lk_pad = k.shape[1]
+    n_qt = lq // q_block
+    n_kt = lk_pad // KV_BLOCK
+    kv_idx, kv_cnt = _tile_lists(*mask_to_block_lists(mask))
+    if kv_idx.shape[-1] % GROUP:
+        padn = GROUP - kv_idx.shape[-1] % GROUP
+        kv_idx = jnp.pad(kv_idx, ((0, 0), (0, 0), (0, 0), (0, padn)), mode="edge")
+    max_k = kv_idx.shape[-1]
+    kv_packed = jnp.concatenate(
+        [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
+        axis=2,
+    ).reshape(bh, n_kt * 2 * KV_BLOCK, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, n_qt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, 8, q_block), lambda b, i, *_: (b, 0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2, 8, max_k), jnp.int32),
+            pltpu.VMEM((NBUF, GROUP, 2 * KV_BLOCK, d), k.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, lse8 = pl.pallas_call(
+        functools.partial(_sparse_fwd_kernel, **kw),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 8, lq), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n_qt * q_block * max_k * KV_BLOCK * d,
+            bytes_accessed=q.size * q.dtype.itemsize
+            + 2 * bh * n_qt * max_k * KV_BLOCK * d * k.dtype.itemsize,
+            transcendentals=bh * lq * max_k * KV_BLOCK,
+        ),
+    )(kv_cnt, kv_idx, q, kv_packed)
+    return out, lse8[:, 0, :]

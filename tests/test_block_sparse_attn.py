@@ -135,3 +135,21 @@ def test_gradients_ragged():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
+
+
+def test_sparse_union_mode_matches_reference():
+    """Experimental union-gather path (SPARSE_UNION) must be exact."""
+    import blade.kernels.block_sparse_attn as BSA
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(20), lq=384, lk=512)
+    mask = jax.random.uniform(jax.random.PRNGKey(21), (1, 2, 3, 4)) < 0.5
+    mask = mask.at[..., 0].set(True)
+    old = BSA.SPARSE_UNION
+    try:
+        BSA.SPARSE_UNION = True
+        out, lse = block_sparse_attention(q, k, v, mask, interpret=True)
+    finally:
+        BSA.SPARSE_UNION = old
+    ref_out, ref_lse = block_masked_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=1e-5, rtol=1e-5)

@@ -172,3 +172,21 @@ def test_pooled_predictor_kernel_ragged():
                                     interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-3,
                                rtol=3e-2)
+
+
+def test_union_block_lists():
+    rng = jax.random.PRNGKey(21)
+    mask = jax.random.uniform(rng, (1, 2, 8, 16)) < 0.3
+    idx, counts, bits = M.union_block_lists(mask, group=2)
+    mask_np = np.asarray(mask)
+    for h in range(2):
+        for g in range(4):
+            r0, r1 = mask_np[0, h, 2 * g], mask_np[0, h, 2 * g + 1]
+            union = np.where(r0 | r1)[0]
+            c = int(counts[0, h, g])
+            assert c == len(union)
+            got = np.asarray(idx[0, h, g, :c])
+            np.testing.assert_array_equal(got, union)
+            bb = np.asarray(bits[0, h, g, :c])
+            np.testing.assert_array_equal(bb & 1, r0[union].astype(int))
+            np.testing.assert_array_equal((bb >> 1) & 1, r1[union].astype(int))
