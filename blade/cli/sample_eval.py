@@ -35,6 +35,9 @@ def get_args():
 
 
 def main():
+    from blade.parallel.launch import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     args = get_args()
     from blade.cli.inference import build_pipeline
     from blade.evalsuite.sampler import SamplerConfig, run_sampler

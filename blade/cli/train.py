@@ -73,6 +73,9 @@ def get_args():
 
 
 def main():
+    from blade.parallel.launch import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     args = get_args()
     from blade import config as C
     from blade.attention.integration import make_asa_attention_fn

@@ -701,11 +701,27 @@ def _common_kwargs(scale, bias, kv_valid_len, kv_pad_len, q_block):
 
 
 def _dense_tiles(lq, lk):
-    """(q_tile, kv_tile) for the dense kernels: wide when the sequence
-    allows, 128-aligned otherwise."""
+    """(q_tile, kv_tile) for the dense kernels: the widest tile that does
+    not inflate the padded length (short pooled-branch keys would otherwise
+    pay up to 40% padding waste at 1024-wide tiles)."""
+
     def pick(n, pref):
         padded128 = -(-n // 128) * 128
-        return pref if padded128 >= pref else padded128
+        if padded128 <= 128:
+            return padded128
+        # Widest tile whose padding waste stays under ~12.5% (tile width
+        # buys far more than a few percent of padded compute).  Short
+        # sequences take a single full-width tile.
+        if padded128 <= 2 * pref:
+            return padded128
+        best = 128
+        t = 128
+        while t <= pref:
+            cost = -(-padded128 // t) * t
+            if cost <= padded128 * 1.125:
+                best = t
+            t *= 2
+        return best
 
     return pick(lq, DENSE_Q_TILE), pick(lk, DENSE_KV_TILE)
 

@@ -190,3 +190,17 @@ def test_union_block_lists():
             bb = np.asarray(bits[0, h, g, :c])
             np.testing.assert_array_equal(bb & 1, r0[union].astype(int))
             np.testing.assert_array_equal((bb >> 1) & 1, r1[union].astype(int))
+
+
+def test_energy_mask_topk_fast_path_equals_argsort():
+    """Scalar-ratio fast path must equal the argsort formulation."""
+    rng = jax.random.PRNGKey(31)
+    scores = _rand_scores(rng, b=2, h=3, nq=32, nk=64)
+    fast = M.energy_mask(scores, min_retain_ratio=0.05, max_retain_ratio=0.2)
+    # Force the argsort path by passing ratios as arrays.
+    slow = M.energy_mask(
+        scores,
+        min_retain_ratio=jnp.full((2, 3), 0.05),
+        max_retain_ratio=jnp.full((2, 3), 0.2),
+    )
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
