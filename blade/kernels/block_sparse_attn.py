@@ -219,7 +219,7 @@ def _sparse_fwd_kernel(
     kvbuf,  # VMEM (NBUF, segs, 2*seg_rows, D)
     sem, idx_sem,
     *, scale, bias, kv_valid_len, kv_pad_len, q_block,
-    seg_rows=KV_BLOCK, segs=None,
+    seg_rows=KV_BLOCK, segs=None, lane_pack=False,
 ):
     """Grouped block-gather flash forward.
 
@@ -258,7 +258,8 @@ def _sparse_fwd_kernel(
 
     def kv_copy(slot, t, u):
         blk = idxbuf[par, 0, segs * t + u]
-        rec = 2 * seg_rows
+        # lane_pack (d == 64): K|V share the 128 lanes in seg_rows rows.
+        rec = seg_rows if lane_pack else 2 * seg_rows
         return pltpu.make_async_copy(
             kv_ref.at[bh, pl.ds(blk * rec, rec), :], kvbuf.at[slot, u],
             sem.at[slot, u],
@@ -287,9 +288,13 @@ def _sparse_fwd_kernel(
         slot = jax.lax.rem(t, NBUF)
         for u in range(segs):
             kv_copy(slot, t, u).wait()
-        kv = kvbuf[slot]  # [segs, 2*seg_rows, D]
-        kb = kv[:, :seg_rows, :].reshape(width, d)
-        vb = kv[:, seg_rows:, :].reshape(width, d)
+        kv = kvbuf[slot]  # [segs, 2*seg_rows, D] or lane-packed [segs, seg_rows, 2D]
+        if lane_pack:
+            kb = kv[:, :, :d].reshape(width, d)
+            vb = kv[:, :, d:].reshape(width, d)
+        else:
+            kb = kv[:, :seg_rows, :].reshape(width, d)
+            vb = kv[:, seg_rows:, :].reshape(width, d)
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -465,7 +470,7 @@ def _sparse_dq_kernel(
     kvbuf,  # VMEM (NBUF, GROUP, 2*KV_BLOCK, D)
     sem, idx_sem,
     *, scale, bias, kv_valid_len, kv_pad_len, q_block,
-    seg_rows=KV_BLOCK, segs=None,
+    seg_rows=KV_BLOCK, segs=None, lane_pack=False,
 ):
     """Grouped dQ: gathers GROUP selected K/V blocks (packed, one DMA each)
     per iteration, mirroring the forward kernel's pipeline."""
@@ -498,7 +503,8 @@ def _sparse_dq_kernel(
 
     def kv_copy(slot, t, u):
         blk = idxbuf[par, 0, segs * t + u]
-        rec = 2 * seg_rows
+        # lane_pack (d == 64): K|V share the 128 lanes in seg_rows rows.
+        rec = seg_rows if lane_pack else 2 * seg_rows
         return pltpu.make_async_copy(
             kv_ref.at[bh, pl.ds(blk * rec, rec), :], kvbuf.at[slot, u],
             sem.at[slot, u],
@@ -529,8 +535,12 @@ def _sparse_dq_kernel(
         for u in range(segs):
             kv_copy(slot, t, u).wait()
         kv = kvbuf[slot]
-        kb = kv[:, :seg_rows, :].reshape(width, d)
-        vb = kv[:, seg_rows:, :].reshape(width, d)
+        if lane_pack:
+            kb = kv[:, :, :d].reshape(width, d)
+            vb = kv[:, :, d:].reshape(width, d)
+        else:
+            kb = kv[:, :seg_rows, :].reshape(width, d)
+            vb = kv[:, seg_rows:, :].reshape(width, d)
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -574,7 +584,7 @@ def _sparse_dkv_kernel(
     statbuf,  # VMEM (NBUF, GROUP_Q, 24, q_block) f32
     sem, idx_sem,
     *, scale, bias, kv_valid_len, kv_pad_len, q_block,
-    kv_rows=KV_BLOCK,
+    kv_rows=KV_BLOCK, lane_pack=False,
 ):
     """Grouped dK/dV: gathers GROUP_Q selected (q, dO, stats) block records
     (2 DMAs per block) per iteration, keyed on the transposed mask lists."""
@@ -605,7 +615,7 @@ def _sparse_dkv_kernel(
 
     def qdo_copy(slot, t, u):
         blk = idxbuf[par, 0, GROUP_Q * t + u]
-        rec = 2 * q_block
+        rec = q_block if lane_pack else 2 * q_block
         return pltpu.make_async_copy(
             qdo_ref.at[bh, pl.ds(blk * rec, rec), :], qdobuf.at[slot, u],
             sem.at[slot, 2 * u],
@@ -642,9 +652,13 @@ def _sparse_dkv_kernel(
         for u in range(GROUP_Q):
             qdo_copy(slot, t, u).wait()
             stats_copy(slot, t, u).wait()
-        qdo = qdobuf[slot]  # [GROUP_Q, 2*q_block, D]
-        qb = qdo[:, :q_block, :].reshape(rows, d)
-        dob = qdo[:, q_block:, :].reshape(rows, d)
+        qdo = qdobuf[slot]  # [GROUP_Q, 2*q_block, D] or lane-packed
+        if lane_pack:
+            qb = qdo[:, :, :d].reshape(rows, d)
+            dob = qdo[:, :, d:].reshape(rows, d)
+        else:
+            qb = qdo[:, :q_block, :].reshape(rows, d)
+            dob = qdo[:, q_block:, :].reshape(rows, d)
         st = statbuf[slot]  # [GROUP_Q, 24, q_block]
         lse = jnp.concatenate(
             [jnp.transpose(st[u, 0:1, :], (1, 0)) for u in range(GROUP_Q)],
@@ -895,10 +909,19 @@ def _bwd_call(
     max_k = kv_idx.shape[-1]
     max_q = t_idx.shape[-1]
 
-    kv_packed = jnp.concatenate(
-        [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
-        axis=2,
-    ).reshape(bh, n_kt * 2 * KV_BLOCK, d)
+    lane_pack = d == 64
+    if lane_pack:
+        kv_packed = jnp.concatenate(
+            [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
+            axis=3,
+        ).reshape(bh, n_kt * KV_BLOCK, 2 * d)
+        kv_buf_shape = (NBUF, GROUP, KV_BLOCK, 2 * d)
+    else:
+        kv_packed = jnp.concatenate(
+            [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
+            axis=2,
+        ).reshape(bh, n_kt * 2 * KV_BLOCK, d)
+        kv_buf_shape = (NBUF, GROUP, 2 * KV_BLOCK, d)
 
     dq_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -915,13 +938,13 @@ def _bwd_call(
         out_specs=pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
         scratch_shapes=[
             pltpu.SMEM((2, 8, max_k), jnp.int32),
-            pltpu.VMEM((NBUF, GROUP, 2 * KV_BLOCK, d), k.dtype),
+            pltpu.VMEM(kv_buf_shape, k.dtype),
             pltpu.SemaphoreType.DMA((NBUF, GROUP)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dq = pl.pallas_call(
-        functools.partial(_sparse_dq_kernel, **kw),
+        functools.partial(_sparse_dq_kernel, lane_pack=lane_pack, **kw),
         grid_spec=dq_grid,
         out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
         interpret=interpret,
@@ -929,11 +952,20 @@ def _bwd_call(
 
     # Packed per-q-block records for the dK/dV gather: [q; dO] and the three
     # stat tiles stacked on sublanes.
-    qdo_packed = jnp.concatenate(
-        [q.reshape(bh, n_qt, q_block, d),
-         g_out.astype(q.dtype).reshape(bh, n_qt, q_block, d)],
-        axis=2,
-    ).reshape(bh, n_qt * 2 * q_block, d)
+    if lane_pack:
+        qdo_packed = jnp.concatenate(
+            [q.reshape(bh, n_qt, q_block, d),
+             g_out.astype(q.dtype).reshape(bh, n_qt, q_block, d)],
+            axis=3,
+        ).reshape(bh, n_qt * q_block, 2 * d)
+        qdo_buf_shape = (NBUF, GROUP_Q, q_block, 2 * d)
+    else:
+        qdo_packed = jnp.concatenate(
+            [q.reshape(bh, n_qt, q_block, d),
+             g_out.astype(q.dtype).reshape(bh, n_qt, q_block, d)],
+            axis=2,
+        ).reshape(bh, n_qt * 2 * q_block, d)
+        qdo_buf_shape = (NBUF, GROUP_Q, 2 * q_block, d)
     stats_packed = jnp.concatenate(
         [tiles4(lse_f), tiles4(delta), tiles4(g_lse)], axis=2
     ).reshape(bh, n_qt * 24, q_block)
@@ -954,14 +986,14 @@ def _bwd_call(
         ],
         scratch_shapes=[
             pltpu.SMEM((2, 8, max_q), jnp.int32),
-            pltpu.VMEM((NBUF, GROUP_Q, 2 * q_block, d), q.dtype),
+            pltpu.VMEM(qdo_buf_shape, q.dtype),
             pltpu.VMEM((NBUF, GROUP_Q, 24, q_block), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF, 2 * GROUP_Q)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dk, dv = pl.pallas_call(
-        functools.partial(_sparse_dkv_kernel, **kw),
+        functools.partial(_sparse_dkv_kernel, lane_pack=lane_pack, **kw),
         grid_spec=dkv_grid,
         out_shape=[
             jax.ShapeDtypeStruct((bh, lk_pad, d), k.dtype),
@@ -1072,11 +1104,12 @@ def block_sparse_attention(
     if interpret is None:
         interpret = _interpret_default()
 
-    # Head dims below the 128-lane tile are zero-padded (exact for QK^T and
-    # PV; padded output lanes are sliced off, padded grads vanish).  Mosaic
-    # rejects sub-128-lane DMA slices otherwise (CogVideoX: d=64).
+    # Gather DMAs need lane-complete records.  d == 64 lane-packs K|V (and
+    # q|dO) side by side into 128 lanes (no waste); other sub-128 head dims
+    # zero-pad to 128 (exact: padded lanes contribute nothing and padded
+    # grads vanish).  The dense path uses BlockSpecs only and never pads.
     d_orig = d
-    if d < 128:
+    if block_mask is not None and d < 128 and (d != 64 or SPARSE_UNION):
         pad_d = 128 - d
         q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
@@ -1270,10 +1303,19 @@ def _fwd_call_direct(q, k, v, mask, *, scale, bias, kv_valid_len, q_block,
         padn = GROUP - kv_idx.shape[-1] % GROUP
         kv_idx = jnp.pad(kv_idx, ((0, 0), (0, 0), (0, 0), (0, padn)), mode="edge")
     max_k = kv_idx.shape[-1]
-    kv_packed = jnp.concatenate(
-        [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
-        axis=2,
-    ).reshape(bh, n_kt * 2 * KV_BLOCK, d)
+    lane_pack = d == 64
+    if lane_pack:
+        kv_packed = jnp.concatenate(
+            [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
+            axis=3,
+        ).reshape(bh, n_kt * KV_BLOCK, 2 * d)
+        kv_buf_shape = (NBUF, GROUP, KV_BLOCK, 2 * d)
+    else:
+        kv_packed = jnp.concatenate(
+            [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
+            axis=2,
+        ).reshape(bh, n_kt * 2 * KV_BLOCK, d)
+        kv_buf_shape = (NBUF, GROUP, 2 * KV_BLOCK, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh, n_qt),
@@ -1288,13 +1330,13 @@ def _fwd_call_direct(q, k, v, mask, *, scale, bias, kv_valid_len, q_block,
         ],
         scratch_shapes=[
             pltpu.SMEM((2, 8, max_k), jnp.int32),
-            pltpu.VMEM((NBUF, GROUP, 2 * KV_BLOCK, d), k.dtype),
+            pltpu.VMEM(kv_buf_shape, k.dtype),
             pltpu.SemaphoreType.DMA((NBUF, GROUP)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out, lse8 = pl.pallas_call(
-        functools.partial(_sparse_fwd_kernel, **kw),
+        functools.partial(_sparse_fwd_kernel, lane_pack=lane_pack, **kw),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
