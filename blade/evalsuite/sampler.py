@@ -87,10 +87,13 @@ def run_sampler(generate_fn, embeds_fn, prompts, cfg: SamplerConfig, log=print):
     t_start = time.time()
     for i in range(0, len(tasks), cfg.batch_size):
         chunk = tasks[i : i + cfg.batch_size]
+        # Pad the trailing partial batch (duplicating the last task) so the
+        # jitted generate function sees one static batch shape.
+        padded = chunk + [chunk[-1]] * (cfg.batch_size - len(chunk))
         try:
-            embeds = embeds_fn([prompts[p] for p, _, _, _ in chunk])
-            seeds = np.array([s for _, _, s, _ in chunk], np.uint32)
-            frames = np.asarray(generate_fn(embeds, seeds))
+            embeds = embeds_fn([prompts[p] for p, _, _, _ in padded])
+            seeds = np.array([s for _, _, s, _ in padded], np.uint32)
+            frames = np.asarray(generate_fn(embeds, seeds))[: len(chunk)]
             for (p, v, s, path), clip in zip(chunk, frames):
                 out = export_video(clip, path, fps=cfg.fps)
                 done += 1
