@@ -13,7 +13,9 @@ from typing import Optional, Tuple
 from blade.attention.asa import ASAConfig
 from blade.models.cogvideox_dit import COGVIDEOX_2B, COGVIDEOX_5B, COGVIDEOX_TINY, CogVideoXConfig
 from blade.models.t5 import T5_TINY, T5_XXL, UMT5_XXL, T5Config
-from blade.models.vae import COGVIDEOX_VAE, TINY_VAE, WAN_VAE, VAEConfig
+from blade.models.vae import TINY_VAE
+from blade.models.vae_cogvideox import COGVIDEOX_VAE_FULL
+from blade.models.vae_wan import WAN21_VAE
 from blade.models.wan_dit import WAN_1_3B, WAN_TINY, WanConfig
 
 __all__ = ["VideoSpec", "FamilyPreset", "WAN_480P", "COGVIDEOX_480P",
@@ -32,7 +34,7 @@ class VideoSpec:
 class FamilyPreset:
     name: str  # "wan" | "cogvideox"
     dit: object
-    vae: VAEConfig
+    vae: object  # VAEConfig | WanVAEConfig | CogVideoXVAEConfig
     text: T5Config
     max_text_len: int
     video: VideoSpec
@@ -75,12 +77,12 @@ def derive_asa_config(preset: FamilyPreset, mask_mode: str = "energy") -> ASACon
 
 
 WAN_480P = FamilyPreset(
-    name="wan", dit=WAN_1_3B, vae=WAN_VAE, text=UMT5_XXL, max_text_len=512,
+    name="wan", dit=WAN_1_3B, vae=WAN21_VAE, text=UMT5_XXL, max_text_len=512,
     video=VideoSpec(81, 480, 832, fps=16), flow_shift=3.0,
     sample_gap=30, max_retain_ratio=0.2,
 )
 COGVIDEOX_480P = FamilyPreset(
-    name="cogvideox", dit=COGVIDEOX_5B, vae=COGVIDEOX_VAE, text=T5_XXL,
+    name="cogvideox", dit=COGVIDEOX_5B, vae=COGVIDEOX_VAE_FULL, text=T5_XXL,
     max_text_len=226, video=VideoSpec(49, 480, 720, fps=8),
     sample_gap=15, max_retain_ratio=0.1, joint_text_attention=True,
 )

@@ -3,8 +3,8 @@
 Layout expected (diffusers-style):
   <weights_dir>/transformer/*.safetensors   (DiT)
   <weights_dir>/text_encoder/*.safetensors  (T5/UMT5)
-  <weights_dir>/vae/*.safetensors           (VAE; converter pending exact
-                                             block-name map — see vae.py)
+  <weights_dir>/vae/*.safetensors           (AutoencoderKLWan /
+                                             AutoencoderKLCogVideoX)
 
 LoRA adapters come either from a blade TDM checkpoint (orbax) or an ``.npz``
 of {path: a/b factors} and are merged into the DiT at load
@@ -19,7 +19,12 @@ from typing import Dict, Optional
 
 import numpy as np
 
-__all__ = ["load_safetensors_dir", "load_dit_params", "load_text_params"]
+__all__ = [
+    "load_safetensors_dir",
+    "load_dit_params",
+    "load_text_params",
+    "load_vae_params",
+]
 
 
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
@@ -51,3 +56,15 @@ def load_text_params(weights_dir: str, preset):
 
     sd = load_safetensors_dir(os.path.join(weights_dir, "text_encoder"))
     return convert_t5_encoder(sd, preset.text)
+
+
+def load_vae_params(weights_dir: str, preset):
+    from blade.convert.vae_convert import (
+        convert_cogvideox_vae,
+        convert_wan_vae,
+    )
+
+    sd = load_safetensors_dir(os.path.join(weights_dir, "vae"))
+    if preset.name == "wan":
+        return convert_wan_vae(sd)
+    return convert_cogvideox_vae(sd)

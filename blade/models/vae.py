@@ -40,7 +40,21 @@ __all__ = [
     "WAN_VAE",
     "TINY_VAE",
     "tiled_decode",
+    "build_vae",
 ]
+
+
+def build_vae(cfg, dtype=jnp.float32):
+    """Config -> VAE module: family-specific checkpoint-parity modules for
+    the full Wan/CogVideoX presets, the generic CausalVAE otherwise."""
+    from blade.models.vae_cogvideox import CogVideoXVAE, CogVideoXVAEConfig
+    from blade.models.vae_wan import WanVAE, WanVAEConfig
+
+    if isinstance(cfg, WanVAEConfig):
+        return WanVAE(cfg, dtype)
+    if isinstance(cfg, CogVideoXVAEConfig):
+        return CogVideoXVAE(cfg, dtype)
+    return CausalVAE(cfg, dtype)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,7 +19,7 @@ from blade.attention.integration import make_asa_attention_fn
 from blade.config import FamilyPreset, derive_asa_config
 from blade.models.cogvideox_dit import CogVideoXModel
 from blade.models.t5 import T5Encoder
-from blade.models.vae import CausalVAE, tiled_decode
+from blade.models.vae import build_vae, tiled_decode
 from blade.models.wan_dit import WanModel
 from blade.sampling.pipeline import sample_cogvideox, sample_wan
 from blade.schedulers.ddpm import make_ddpm_schedule
@@ -52,7 +52,7 @@ class T2VPipeline:
             self.dit = WanModel(p.dit, dtype=self.dtype, **kwargs)
         else:
             self.dit = CogVideoXModel(p.dit, dtype=self.dtype, **kwargs)
-        self.vae = CausalVAE(p.vae)
+        self.vae = build_vae(p.vae)
         self.text_encoder = T5Encoder(p.text, dtype=self.dtype)
 
     # ------------------------------------------------------------- helpers
@@ -121,11 +121,14 @@ class T2VPipeline:
             z = z * std + mean
         decode = lambda zz: self.vae.apply(self.vae_params, zz, method=self.vae.decode)
         if tiled:
-            return tiled_decode(
+            out = tiled_decode(
                 decode, z, tile_latent=tile_latent,
                 spatial_factor=p.vae.spatial_factor,
             )
-        return decode(z)
+        else:
+            out = decode(z)
+        # Family decoders emit raw values (diffusers clamps in the pipeline).
+        return jnp.clip(out, -1.0, 1.0)
 
     def generate(
         self,
