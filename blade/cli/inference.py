@@ -25,6 +25,10 @@ def get_args():
     p.add_argument("--prompts", type=str, help="text file, one prompt per line")
     p.add_argument("--prompt", type=str, help="single prompt")
     p.add_argument("--weights", type=str, help="HF-layout weights dir")
+    p.add_argument("--tokenizer_dir", type=str, default=None,
+                   help="local tokenizer dir (defaults to "
+                        "<weights>/tokenizer; required offline — zero "
+                        "egress means no HF hub fetch)")
     p.add_argument("--lora", type=str, help="TDM LoRA adapter (.npz)")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--steps", type=int, default=8)
@@ -65,7 +69,11 @@ def build_pipeline(args):
             dtype=jnp.float32 if args.tiny else jnp.bfloat16,
         )
 
-    from blade.convert.load import load_dit_params, load_text_params
+    from blade.convert.load import (
+        load_dit_params,
+        load_text_params,
+        load_vae_params,
+    )
 
     pipe = T2VPipeline.random_init(
         preset, jax.random.PRNGKey(0), sparse=args.sparse,
@@ -73,6 +81,7 @@ def build_pipeline(args):
     )
     pipe.dit_params = load_dit_params(args.weights, preset)
     pipe.text_params = load_text_params(args.weights, preset)
+    pipe.vae_params = load_vae_params(args.weights, preset)
     if args.lora:
         from blade.training.lora import merge_lora
 
@@ -81,12 +90,29 @@ def build_pipeline(args):
     return pipe
 
 
-def tokenize(preset, prompts):
-    """T5/UMT5 tokenization via transformers (slow tokenizer, pure python)."""
+def resolve_tokenizer_dir(args) -> str | None:
+    """Local tokenizer location: --tokenizer_dir, else <weights>/tokenizer
+    (the diffusers checkpoint layout ships one there)."""
+    d = getattr(args, "tokenizer_dir", None)
+    if d:
+        return d
+    w = getattr(args, "weights", None)
+    if w and os.path.isdir(os.path.join(w, "tokenizer")):
+        return os.path.join(w, "tokenizer")
+    return None
+
+
+def tokenize(preset, prompts, tokenizer_dir=None):
+    """T5/UMT5 tokenization via transformers (slow tokenizer, pure python).
+
+    Prefers a local tokenizer dir (offline / zero-egress); falls back to
+    the HF hub name only when none is given (requires network)."""
     from transformers import AutoTokenizer
 
-    name = "google/umt5-xxl" if preset.name == "wan" else "google/t5-v1_1-xxl"
-    tok = AutoTokenizer.from_pretrained(name)
+    src = tokenizer_dir or (
+        "google/umt5-xxl" if preset.name == "wan" else "google/t5-v1_1-xxl"
+    )
+    tok = AutoTokenizer.from_pretrained(src)
     enc = tok(list(prompts), padding="max_length", truncation=True,
               max_length=preset.max_text_len, return_tensors="np")
     return jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"])
@@ -106,6 +132,7 @@ def main():
         raise SystemExit("need --prompt or --prompts")
 
     os.makedirs(args.output_dir, exist_ok=True)
+    tok_dir = resolve_tokenizer_dir(args)
     from blade.utils.video_io import export_video
 
     for i, prompt in enumerate(prompts):
@@ -118,7 +145,7 @@ def main():
                 )
                 mask = jnp.ones_like(ids)
             else:
-                ids, mask = tokenize(preset, [prompt])
+                ids, mask = tokenize(preset, [prompt], tok_dir)
             text = pipe.encode_prompts(ids, mask)
             neg = None
             if args.guidance_scale and args.guidance_scale != 1.0:
@@ -134,7 +161,7 @@ def main():
                     )
                     neg = pipe.encode_prompts(nids, jnp.ones_like(nids))
                 else:
-                    nids, nmask = tokenize(preset, [neg_prompt])
+                    nids, nmask = tokenize(preset, [neg_prompt], tok_dir)
                     neg = pipe.encode_prompts(nids, nmask)
             frames = pipe.generate(
                 text, rng=jax.random.PRNGKey(args.seed + i),

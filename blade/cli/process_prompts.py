@@ -44,6 +44,7 @@ def get_args():
     p.add_argument("--output_dir", required=True)
     p.add_argument("--family", choices=["wan", "cogvideox"], default="cogvideox")
     p.add_argument("--weights", type=str, help="HF-layout dir w/ text_encoder/")
+    p.add_argument("--tokenizer_dir", type=str, default=None)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--random-init", action="store_true")
@@ -86,7 +87,11 @@ def main():
         params = load_text_params(args.weights, preset)
         from transformers import AutoTokenizer
 
-        name = "google/umt5-xxl" if preset.name == "wan" else "google/t5-v1_1-xxl"
+        from blade.cli.inference import resolve_tokenizer_dir
+
+        name = resolve_tokenizer_dir(args) or (
+            "google/umt5-xxl" if preset.name == "wan" else "google/t5-v1_1-xxl"
+        )
         tok = AutoTokenizer.from_pretrained(name)
 
         def tokenize(batch):

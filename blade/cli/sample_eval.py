@@ -25,6 +25,7 @@ def get_args():
                    help="optional parallel file for output names")
     p.add_argument("--family", choices=["wan", "cogvideox"], default="wan")
     p.add_argument("--weights", type=str)
+    p.add_argument("--tokenizer_dir", type=str, default=None)
     p.add_argument("--lora", type=str)
     p.add_argument("--output_dir", type=str)
     p.add_argument("--sparse", action="store_true", default=True)
@@ -64,10 +65,12 @@ def main():
             ]))
             return pipe.encode_prompts(ids, jnp.ones_like(ids))
     else:
-        from blade.cli.inference import tokenize
+        from blade.cli.inference import resolve_tokenizer_dir, tokenize
+
+        tok_dir = resolve_tokenizer_dir(args)
 
         def embeds_fn(batch):
-            ids, mask = tokenize(preset, batch)
+            ids, mask = tokenize(preset, batch, tok_dir)
             return pipe.encode_prompts(ids, mask)
 
     def generate_fn(embeds, seeds):

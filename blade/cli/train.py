@@ -205,7 +205,11 @@ def main():
 
     def load_batch(step_idx, r):
         if store is not None:
-            idx0 = jax.process_index() * 600 + step_idx * args.batch_size
+            # Globally strided, non-overlapping shards (the reference's
+            # `rank*600 + step` hardcode breaks past 600 steps; SURVEY §7
+            # lists it as a quirk not to replicate).
+            idx0 = (step_idx * jax.process_count()
+                    + jax.process_index()) * args.batch_size
             idxs = [(idx0 + i) % len(store) for i in range(args.batch_size)]
             # warm the page cache for the NEXT step while this one computes
             store.prefetch([(i + args.batch_size) % len(store) for i in idxs])
@@ -276,7 +280,7 @@ def sample_validation_videos(args, preset, model, family, cfg, state, batch,
     import jax.numpy as jnp
     import numpy as np
 
-    from blade.models.vae import CausalVAE
+    from blade.models.vae import build_vae
     from blade.training import lora as lora_lib
     from blade.training import tdm as tdm_lib
     from blade.utils.video_io import save_videos_grid
@@ -299,14 +303,24 @@ def sample_validation_videos(args, preset, model, family, cfg, state, batch,
     )
     latents = x0s[-1]
 
-    vae = CausalVAE(preset.vae)
+    vae = build_vae(preset.vae)
     if preset.name == "wan":
         z = jnp.transpose(latents, (0, 2, 3, 4, 1)).astype(jnp.float32)
     else:
         z = jnp.transpose(latents, (0, 1, 3, 4, 2)).astype(jnp.float32)
     z = z / preset.vae.scaling_factor
-    vae_params = vae.init(jax.random.PRNGKey(0), z, method=vae.decode)
-    frames = vae.apply(vae_params, z, method=vae.decode)
+    if getattr(preset.vae, "latents_mean", None) is not None:
+        # Wan latent de-normalization before decode
+        # (train_wanx_tdm.py:1822-1829).
+        z = z * jnp.asarray(preset.vae.latents_std) \
+            + jnp.asarray(preset.vae.latents_mean)
+    if getattr(args, "weights", None) and not args.random_init:
+        from blade.convert.load import load_vae_params
+
+        vae_params = load_vae_params(args.weights, preset)
+    else:
+        vae_params = vae.init(jax.random.PRNGKey(0), z, method=vae.decode)
+    frames = np.clip(vae.apply(vae_params, z, method=vae.decode), -1.0, 1.0)
     import os
 
     out = os.path.join(args.output_dir, f"videos_{step_idx + 1}.mp4")

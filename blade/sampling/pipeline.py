@@ -107,12 +107,13 @@ def sample_cogvideox(
 
     def body(carry, i):
         state = carry
-        v = fn(
-            state.x,
-            jnp.full(noise.shape[:1], timesteps[i]),
-            jax.random.fold_in(rng, i),
+        krng = jax.random.fold_in(rng, i)
+        v = fn(state.x, jnp.full(noise.shape[:1], timesteps[i]), krng)
+        # SDE-DPM++ injects fresh noise each step (diffusers parity).
+        xi = jax.random.normal(
+            jax.random.fold_in(krng, 1), state.x.shape, state.x.dtype
         )
-        return dpm_step(sched, state, v, i), None
+        return dpm_step(sched, state, v, i, xi), None
 
     state, _ = jax.lax.scan(body, dpm_init(noise), jnp.arange(num_steps))
     return state.x

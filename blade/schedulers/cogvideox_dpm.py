@@ -55,8 +55,23 @@ def dpm_init(x: jnp.ndarray) -> DPMState:
     return DPMState(x=x, m0=jnp.zeros_like(x))
 
 
-def dpm_step(sched: DPMSchedule, state: DPMState, v_pred, i):
-    """DPM-Solver++(2M) step i -> i+1; model output is a v-prediction."""
+def dpm_step(sched: DPMSchedule, state: DPMState, v_pred, i, noise=None):
+    """SDE-DPM-Solver++(2M) step i -> i+1 (CogVideoXDPMScheduler parity).
+
+    The diffusers CogVideoX scheduler is the *stochastic* DPM++ variant:
+
+      mult1      = (sigma_next / sigma_i) * exp(-h)
+      mult2      = expm1(-2h) * alpha_next            (negative)
+      mult_noise = sigma_next * sqrt(1 - exp(-2h))
+      x_next     = mult1 * x - mult2 * D + mult_noise * xi
+
+    where D is the x0 prediction at step i (first order), or the 2M
+    extrapolation ``(1 + 1/(2r)) x0 - (1/(2r)) m0`` with ``r = h_last / h``
+    (second order; used for 0 < i < N-1 — the final step drops to first
+    order because its previous train-timestep index is negative, matching
+    ``scheduling_dpm_cogvideox`` exactly).  ``noise=None`` runs the
+    deterministic (zero-noise) variant.
+    """
     a = jnp.asarray(sched.alpha)
     s = jnp.asarray(sched.sigma)
     lam = jnp.asarray(sched.lambdas)
@@ -69,12 +84,17 @@ def dpm_step(sched: DPMSchedule, state: DPMState, v_pred, i):
     h_last = lam[i] - lam[i_prev]
     r = h_last / jnp.where(h == 0, 1.0, h)
     r_safe = jnp.where(i > 0, r, 1.0)
+    second = (i > 0) & (i < sched.num_steps - 1)
     d = jnp.where(
-        i > 0,
+        second,
         (1.0 + 1.0 / (2.0 * r_safe)) * x0 - (1.0 / (2.0 * r_safe)) * state.m0,
         x0,
     )
-    x_next = (s[i + 1] / jnp.maximum(s[i], 1e-30)) * x - a[i + 1] * jnp.expm1(-h) * d
-    # Terminal step (sigma -> 0): the update reduces to x_next = x0-combo
-    # because sigma ratio is 0 and alpha expm1(-h) -> -1.
+    exp_h = jnp.exp(-h)
+    mult1 = (s[i + 1] / jnp.maximum(s[i], 1e-30)) * exp_h
+    mult2 = jnp.expm1(-2.0 * h) * a[i + 1]
+    mult_noise = s[i + 1] * jnp.sqrt(jnp.maximum(1.0 - exp_h * exp_h, 0.0))
+    x_next = mult1 * x - mult2 * d
+    if noise is not None:
+        x_next = x_next + mult_noise * noise
     return DPMState(x=x_next, m0=x0)
