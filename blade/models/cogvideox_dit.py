@@ -238,7 +238,10 @@ class CogVideoXModel(nn.Module):
             hidden.astype(self.dtype)
         )
 
-        # Unpatchify to [B, T, C, H, W].
-        out = out.reshape(b, t, gh, gw, p, p, c.out_channels)
-        out = jnp.einsum("bthwpqc->btchpwq", out).reshape(b, t, c.out_channels, h, w)
+        # Unpatchify to [B, T, C, H, W].  diffusers orders proj_out features
+        # channel-major: reshape (..., C, p, p) — NOT (..., p, p, C) — so the
+        # converter stays a pure transpose (transformer_cogvideox.forward's
+        # `.reshape(b, t, h//p, w//p, -1, p, p).permute(0,1,4,2,5,3,6)`).
+        out = out.reshape(b, t, gh, gw, c.out_channels, p, p)
+        out = jnp.einsum("bthwcpq->btchpwq", out).reshape(b, t, c.out_channels, h, w)
         return out
