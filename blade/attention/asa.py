@@ -61,6 +61,14 @@ class ASAConfig:
     sample_gap: int = 15
     mask_mode: str = "energy"  # "energy" (train) | "multilevel" (inference)
     mask_ratios: Optional[Dict[int, Tuple[float, float]]] = None
+    # "max": reference semantics (renormalized col-max pooling, Pallas roll
+    # tree).  "sum": mean of row-softmax mass per key block — matmul-
+    # reducible (runs as flash attention with a one-hot pooling V), ~2x
+    # cheaper, rows sum to 1 by construction.
+    predictor: str = "max"
+    # Tokens arrive already gilbert-arranged (the model permuted once after
+    # patchify instead of per attention call) — skip the per-call permutes.
+    pre_arranged: bool = False
 
     @property
     def video_tokens(self) -> int:
@@ -107,6 +115,28 @@ def predict_block_scores(
     q_s = M.sample_block_tokens(rq, qp, cfg.block_size, cfg.sample_tokens_per_block)
     k_s = M.sample_block_tokens(rk, kp, cfg.block_size, cfg.sample_tokens_per_block)
     scale = 1.0 / math.sqrt(q.shape[-1])
+
+    if cfg.predictor == "sum":
+        # Row-softmax mass pooled per key block: exactly flash attention
+        # with a one-hot block-pooling matrix as V (pure MXU work; V is
+        # split into head_dim-wide column chunks to fit the kernel).
+        b, h, ls, d = k_s.shape
+        nq = qp.shape[2] // cfg.block_size
+        nk = kp.shape[2] // cfg.block_size
+        tokens = cfg.sample_tokens_per_block
+        outs = []
+        for c0 in range(0, nk, d):
+            w = min(d, nk - c0)
+            # one-hot columns padded to the kernel's feature width d
+            pool = jax.nn.one_hot(
+                jnp.arange(ls) // tokens - c0, d, dtype=k_s.dtype
+            )
+            pool = jnp.broadcast_to(pool, (b, h, ls, d))
+            o, _ = flash_attention(q_s, k_s, pool, scale=scale)
+            outs.append(o[..., :w])
+        out = jnp.concatenate(outs, -1) if len(outs) > 1 else outs[0]
+        return out.reshape(b, h, nq, tokens, nk).mean(3).astype(jnp.float32)
+
     from blade.kernels.pooled_predictor import pooled_scores_kernel_call
 
     return pooled_scores_kernel_call(
@@ -148,11 +178,15 @@ def adaptive_sparse_attention(
     out1, lse1 = block_sparse_attention(q, k, v, mask, interpret=interpret)
 
     # Low-res global branch: sample_gap-mean-pooled K/V with +log(gap) bias
-    # (each pooled key stands in for `gap` keys).
+    # (each pooled key stands in for `gap` keys).  sum * 1/gap lowers to a
+    # faster reduction than mean on TPU (~1 ms at Wan-480p).
+    inv_gap = 1.0 / cfg.sample_gap
     kp = M.pad_to_block_multiple(k, cfg.sample_gap)
     vp = M.pad_to_block_multiple(v, cfg.sample_gap)
-    k_pool = kp.reshape(*kp.shape[:2], -1, cfg.sample_gap, kp.shape[-1]).mean(axis=-2)
-    v_pool = vp.reshape(*vp.shape[:2], -1, cfg.sample_gap, vp.shape[-1]).mean(axis=-2)
+    k_pool = (kp.reshape(*kp.shape[:2], -1, cfg.sample_gap, kp.shape[-1])
+              .sum(axis=-2) * inv_gap).astype(k.dtype)
+    v_pool = (vp.reshape(*vp.shape[:2], -1, cfg.sample_gap, vp.shape[-1])
+              .sum(axis=-2) * inv_gap).astype(v.dtype)
     out2, lse2 = flash_attention(
         q, k_pool, v_pool,
         scale=1.0 / math.sqrt(q.shape[-1]),
@@ -180,12 +214,13 @@ def asa_attention(
     segment first (CogVideoX layout; ``text_length == 0`` for Wan).
     Returns ``(out, sparsity)``.
     """
-    if cfg.use_rearrange:
+    rearrange = cfg.use_rearrange and not cfg.pre_arranged
+    if rearrange:
         perm, inv = cfg.permutations()
         q = gilbert.rearrange_tokens(q, perm, cfg.text_length)
         k = gilbert.rearrange_tokens(k, perm, cfg.text_length)
         v = gilbert.rearrange_tokens(v, perm, cfg.text_length)
     out, sparsity = adaptive_sparse_attention(rng, q, k, v, cfg, interpret=interpret)
-    if cfg.use_rearrange:
+    if rearrange:
         out = gilbert.unrearrange_tokens(out, inv, cfg.text_length)
     return out, sparsity

@@ -102,10 +102,15 @@ def main():
             preset, video=C.VideoSpec(f_, h_, w_, preset.video.fps)
         )
 
-    attention_fn = None
+    kwargs = {}
     if args.use_sparsity:
-        attention_fn = make_asa_attention_fn(derive_asa_config(preset, "energy"))
-    kwargs = {} if attention_fn is None else {"attention_fn": attention_fn}
+        asa_cfg = derive_asa_config(preset, "energy")
+        if preset.name == "wan":
+            from blade.attention.integration import asa_model_kwargs
+
+            kwargs = asa_model_kwargs(asa_cfg)
+        else:
+            kwargs = {"attention_fn": make_asa_attention_fn(asa_cfg)}
     remat = args.remat if args.remat is not None else not args.tiny
     kwargs["remat"] = remat
     if preset.name == "wan":

@@ -185,6 +185,14 @@ class WanModel(nn.Module):
     attention_fn: Callable = dense_attention_fn
     scan_layers: bool = True
     remat: bool = False
+    # (perm, inv) numpy index arrays over the token grid: tokens are
+    # permuted ONCE after patchify (and un-permuted once before the head,
+    # on the small proj_out features) instead of 4x per attention call —
+    # RoPE tables are permuted statically for free.  Pair with
+    # ``ASAConfig.pre_arranged``; every other Wan component (LayerNorm,
+    # FFN, modulation broadcast, cross-attention queries) is token-order
+    # agnostic, so this is exact.
+    token_perm: Optional[Tuple[Any, Any]] = None
 
     @nn.compact
     def __call__(self, latents, timestep, text_embeds, attn_kwargs=None):
@@ -218,6 +226,10 @@ class WanModel(nn.Module):
         temb6 = temb6.reshape(b, 6, c.dim)
 
         cos, sin = rope_3d_tables(c.head_dim, (gt, gh, gw))
+        if self.token_perm is not None:
+            perm, _inv = self.token_perm
+            x = jnp.take(x, jnp.asarray(perm), axis=1)
+            cos, sin = cos[perm], sin[perm]  # static numpy permute (free)
         cos, sin = jnp.asarray(cos), jnp.asarray(sin)
 
         block_cls = WanBlock
@@ -257,6 +269,9 @@ class WanModel(nn.Module):
             pt * ph * pw * c.out_channels, dtype=jnp.float32,
             param_dtype=jnp.float32, name="proj_out",
         )(xh.astype(self.dtype))
+        if self.token_perm is not None:
+            # Un-permute on the head output: 24x fewer features than dim.
+            out = jnp.take(out, jnp.asarray(self.token_perm[1]), axis=1)
 
         # Unpatchify back to [B, C, T, H, W].
         out = out.reshape(b, gt, gh, gw, pt, ph, pw, c.out_channels)

@@ -42,12 +42,16 @@ class T2VPipeline:
 
     def __post_init__(self):
         p = self.preset
-        attention_fn = None
+        kwargs = {}
         if self.sparse:
-            attention_fn = make_asa_attention_fn(
-                derive_asa_config(p, self.mask_mode), interpret=self.interpret
-            )
-        kwargs = {} if attention_fn is None else {"attention_fn": attention_fn}
+            asa_cfg = derive_asa_config(p, self.mask_mode)
+            if p.name == "wan":
+                from blade.attention.integration import asa_model_kwargs
+
+                kwargs = asa_model_kwargs(asa_cfg, interpret=self.interpret)
+            else:
+                kwargs = {"attention_fn": make_asa_attention_fn(
+                    asa_cfg, interpret=self.interpret)}
         if p.name == "wan":
             self.dit = WanModel(p.dit, dtype=self.dtype, **kwargs)
         else:

@@ -98,3 +98,94 @@ def test_asa_multilevel_mode():
     assert out.shape == q.shape
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(float(sparsity), 1 - 0.15625, atol=1e-6)
+
+
+def test_pre_arranged_matches_per_call():
+    """Model-level gilbert arrangement is exact: permuting inputs once and
+    running pre_arranged equals the per-call rearrange path."""
+    import dataclasses
+
+    from blade.attention import gilbert
+
+    q, k, v = _qkv(jax.random.PRNGKey(10), TINY)
+    rng = jax.random.PRNGKey(11)
+    ref, _ = asa_attention(rng, q, k, v, TINY, interpret=True)
+
+    perm, inv = TINY.permutations()
+    cfg = dataclasses.replace(TINY, pre_arranged=True)
+    qa = gilbert.rearrange_tokens(q, perm, 0)
+    ka = gilbert.rearrange_tokens(k, perm, 0)
+    va = gilbert.rearrange_tokens(v, perm, 0)
+    out, _ = asa_attention(rng, qa, ka, va, cfg, interpret=True)
+    out = gilbert.unrearrange_tokens(out, inv, 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_wan_model_level_arrangement_exact():
+    """WanModel.token_perm + ASAConfig.pre_arranged (via asa_model_kwargs)
+    produces bit-identical outputs to the per-call attention_fn."""
+    from blade.attention.integration import asa_model_kwargs, make_asa_attention_fn
+    from blade.models.wan_dit import WAN_TINY, WanModel
+
+    rng = jax.random.PRNGKey(12)
+    lat = jax.random.normal(rng, (1, 16, 4, 16, 32))
+    t = jnp.ones((1,))
+    txt = jax.random.normal(rng, (1, 7, WAN_TINY.text_dim))
+
+    m1 = WanModel(WAN_TINY, dtype=jnp.float32,
+                  attention_fn=make_asa_attention_fn(TINY, interpret=True))
+    params = m1.init(rng, lat, t, txt, attn_kwargs={"rng": rng})
+    ref = m1.apply(params, lat, t, txt, attn_kwargs={"rng": rng})
+
+    kwargs = asa_model_kwargs(TINY, interpret=True)
+    assert "token_perm" in kwargs
+    m2 = WanModel(WAN_TINY, dtype=jnp.float32, **kwargs)
+    out = m2.apply(params, lat, t, txt, attn_kwargs={"rng": rng})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_sum_predictor_normalized_and_selective():
+    """Sum predictor rows are exact softmax-mass distributions (sum to 1)
+    and rank a planted hot block first."""
+    import dataclasses
+
+    from blade.attention.asa import predict_block_scores
+
+    cfg = dataclasses.replace(TINY, predictor="sum", sample_tokens_per_block=16)
+    rng = jax.random.PRNGKey(13)
+    b, h, d = 1, 2, 32
+    l = cfg.seq_len
+    q = jax.random.normal(rng, (b, h, l, d))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (b, h, l, d)) * 0.05
+    # plant block 2 as globally hot for every query
+    k = k.at[:, :, 2 * 128:3 * 128].add(q.mean(axis=2, keepdims=True) * 3.0)
+    s = predict_block_scores(rng, q, k, cfg)
+    np.testing.assert_allclose(np.asarray(s.sum(-1)), 1.0, atol=1e-3)
+    assert int(jnp.argmax(s.mean((0, 1, 2)))) == 2
+
+
+def test_sum_and_max_predictors_agree_on_selection():
+    """Both predictors must keep the same dominant blocks (mask IoU high on
+    structured inputs)."""
+    import dataclasses
+
+    from blade.attention import masks as M
+    from blade.attention.asa import predict_block_scores
+
+    rng = jax.random.PRNGKey(14)
+    b, h, d = 1, 2, 32
+    l = TINY.seq_len
+    cid = (jnp.arange(l) * 4) // l
+    cvecs = jax.random.normal(jax.random.fold_in(rng, 2), (4, d))
+    base = cvecs[cid] * 1.5
+    q = base + jax.random.normal(rng, (b, h, l, d))
+    k = base + jax.random.normal(jax.random.fold_in(rng, 3), (b, h, l, d))
+    masks = {}
+    for pred in ("max", "sum"):
+        cfg = dataclasses.replace(TINY, predictor=pred)
+        s = predict_block_scores(rng, q, k, cfg)
+        masks[pred] = np.asarray(M.energy_mask(
+            s, min_retain_ratio=0.25, max_retain_ratio=0.75))
+    inter = (masks["max"] & masks["sum"]).sum()
+    union = (masks["max"] | masks["sum"]).sum()
+    assert inter / union > 0.7, (inter, union)
