@@ -43,6 +43,19 @@ def get_args():
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--rank", type=int, default=64)
     p.add_argument("--lora_alpha", type=float, default=64)
+    p.add_argument("--optimizer", choices=["adamw", "adam", "prodigy"],
+                   default="adamw",
+                   help="optimizer family (reference --optimizer; prodigy "
+                        "via optax.contrib)")
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="low-memory optimizer state (bf16 moments on TPU — "
+                        "the int8 bitsandbytes analogue)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient accumulation steps (reference x4)")
+    p.add_argument("--report_to", choices=["none", "tensorboard"],
+                   default="none",
+                   help="offline tensorboard event files in "
+                        "<output_dir>/tb (metrics.jsonl is always written)")
     p.add_argument("--batch_size", type=int, default=5)
     p.add_argument("--max_train_steps", type=int, default=300)
     p.add_argument("--use_sparsity", action="store_true", default=True)
@@ -165,6 +178,9 @@ def main():
         lora_rank=args.rank, lora_alpha=args.lora_alpha,
         use_weighting_factor=preset.name == "cogvideox",
         fake_loss_skip_threshold=2.0 if preset.name == "wan" else None,
+        optimizer=args.optimizer,
+        optimizer_state_bf16=args.use_8bit_adam,
+        grad_accum=args.grad_accum,
     )
 
     def apply_fn(p, x, tt, txt, r):
@@ -234,6 +250,13 @@ def main():
     train_step = jax.jit(tdm.make_tdm_train_step(apply_fn, family, cfg))
     os.makedirs(args.output_dir, exist_ok=True)
     metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
+    tb_writer = None
+    if args.report_to == "tensorboard":
+        # tensorboardX writes event files locally — no egress required
+        # (reference --report_to, train_cogvideo_tdm.py:562-570).
+        from tensorboardX import SummaryWriter
+
+        tb_writer = SummaryWriter(os.path.join(args.output_dir, "tb"))
     print(f"training {args.max_train_steps} steps, batch {args.batch_size}, "
           f"mesh dp={args.dp} fsdp={args.fsdp} tp={args.tp}")
     t0 = time.time()
@@ -254,6 +277,9 @@ def main():
             {"step": step_idx, "loss_fake": lf, "loss_du": lg,
              "t": time.time()}) + "\n")
         metrics_log.flush()
+        if tb_writer is not None:
+            tb_writer.add_scalar("loss_fake", lf, step_idx)
+            tb_writer.add_scalar("loss_du", lg, step_idx)
         if (step_idx + 1) % args.checkpointing_steps == 0:
             ckpt.save(step_idx + 1, state)
             print(f"saved checkpoint @ {step_idx + 1}")
@@ -269,6 +295,8 @@ def main():
     np.savez(out, lora=np.asarray(
         jax.tree_util.tree_map(np.asarray, state.lora_g), dtype=object
     ))
+    if tb_writer is not None:
+        tb_writer.close()
     print(f"wrote {out}")
 
 

@@ -115,6 +115,12 @@ class TDMConfig:
     train_full_model: bool = False
     # Skip the fake update when loss_fake explodes (wan guard; None = off).
     fake_loss_skip_threshold: Optional[float] = None
+    # Optimizer family: "adamw" | "adam" | "prodigy" (optax.contrib; the
+    # reference's --optimizer flag, train_cogvideo_tdm.py:450-503).
+    optimizer: str = "adamw"
+    # Keep Adam moments in bf16 — the TPU analogue of the reference's
+    # --use_8bit_adam memory saving (no int8 optimizer states in optax).
+    optimizer_state_bf16: bool = False
 
 
 class TDMState(flax.struct.PyTreeNode):
@@ -127,10 +133,27 @@ class TDMState(flax.struct.PyTreeNode):
 
 
 def _optimizer(lr, cfg: TDMConfig):
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(lr, b1=cfg.adam_b1, b2=cfg.adam_b2, weight_decay=1e-4),
-    )
+    accum_dtype = jnp.bfloat16 if cfg.optimizer_state_bf16 else None
+    if cfg.optimizer == "prodigy":
+        import optax.contrib as contrib
+
+        inner = contrib.prodigy(
+            lr, betas=(max(cfg.adam_b1, 0.9), max(cfg.adam_b2, 0.99)),
+            weight_decay=1e-4,
+        )
+        # prodigy's d-estimate is 0/0 on all-zero grads (which the
+        # fake-loss skip guard emits); skip non-finite updates instead.
+        inner = optax.apply_if_finite(inner, max_consecutive_errors=10**6)
+    elif cfg.optimizer == "adam":
+        inner = optax.adam(
+            lr, b1=cfg.adam_b1, b2=cfg.adam_b2, mu_dtype=accum_dtype
+        )
+    else:
+        inner = optax.adamw(
+            lr, b1=cfg.adam_b1, b2=cfg.adam_b2, weight_decay=1e-4,
+            mu_dtype=accum_dtype,
+        )
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner)
     if cfg.grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
     return tx
@@ -310,11 +333,19 @@ def make_tdm_train_step(
                 return loss
 
             loss_fake, grads_f = jax.value_and_grad(fake_loss_fn)(state.lora_f)
-            if cfg.fake_loss_skip_threshold is not None:
-                ok = (loss_fake < cfg.fake_loss_skip_threshold).astype(jnp.float32)
-                grads_f = jax.tree_util.tree_map(lambda g: g * ok, grads_f)
             upd_f, opt_f_state = opt_f.update(grads_f, state.opt_f, state.lora_f)
             lora_f_new = optax.apply_updates(state.lora_f, upd_f)
+            if cfg.fake_loss_skip_threshold is not None:
+                # Reference guard (train_wanx_tdm.py): when loss_fake
+                # explodes, skip the whole update — params AND optimizer
+                # state roll back (zeroing grads instead would advance the
+                # moments/counters and 0/0-poison prodigy's d-estimate).
+                ok = loss_fake < cfg.fake_loss_skip_threshold
+                sel = lambda n, o: jnp.where(ok, n, o)
+                lora_f_new = jax.tree_util.tree_map(sel, lora_f_new,
+                                                    state.lora_f)
+                opt_f_state = jax.tree_util.tree_map(sel, opt_f_state,
+                                                     state.opt_f)
 
         # ---- (3) generator update ----------------------------------------
         with jax.named_scope("generator_update"):

@@ -190,3 +190,44 @@ def test_trajectory_bf16_carry_stable():
         k_step=2, eta=0.9))(noise)
     assert x0s.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(x0s, np.float32)).all()
+
+
+@pytest.mark.parametrize("opt", ["prodigy", "adam"])
+def test_optimizer_families(opt):
+    """Reference --optimizer parity: prodigy (optax.contrib) and adam run
+    stably — including with the fake-loss skip guard engaged, which rolls
+    back the whole fake update (zeroed grads would 0/0-poison prodigy)."""
+    apply_fn, params, lat_shape, text = _wan_setup()
+    family = tdm.flow_family(F.flow_training_sigmas(1000, 3.0))
+    cfg = tdm.TDMConfig(
+        k_step=2, lambda_reg=0.0, use_weighting_factor=False,
+        fake_loss_skip_threshold=1e-6,  # always skips the fake update
+        lora_rank=4, lora_alpha=4, optimizer=opt,
+    )
+    state = tdm.create_tdm_state(jax.random.PRNGKey(4), params, cfg)
+    step = jax.jit(tdm.make_tdm_train_step(apply_fn, family, cfg))
+    batch = {
+        "text_embeds": text,
+        "uncond_embeds": text * 0,
+        "noise": jax.random.normal(jax.random.PRNGKey(5), lat_shape),
+    }
+    for i in range(2):
+        state, metrics = step(state, batch, jax.random.PRNGKey(6 + i))
+    for leaf in jax.tree_util.tree_leaves((state.lora_f, state.lora_g)):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert bool(jnp.isfinite(leaf).all())
+    # guard engaged: fake adapter must be exactly unchanged
+    init = tdm.create_tdm_state(jax.random.PRNGKey(4), params, cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(init.lora_f),
+                    jax.tree_util.tree_leaves(state.lora_f)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_optimizer_state_bf16_moments():
+    """--use_8bit_adam analogue: adam moments stored in bf16."""
+    apply_fn, params, lat_shape, text = _wan_setup()
+    cfg = tdm.TDMConfig(lora_rank=4, lora_alpha=4, optimizer_state_bf16=True)
+    state = tdm.create_tdm_state(jax.random.PRNGKey(4), params, cfg)
+    dtypes = {str(l.dtype) for l in jax.tree_util.tree_leaves(state.opt_g)
+              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)}
+    assert "bfloat16" in dtypes, dtypes
