@@ -45,6 +45,9 @@ def peaked_qkv(key, b, h, l, d, n_clusters=64):
 
 
 def main():
+    from blade.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     from blade.attention import masks as M
     from blade.attention.asa import WAN_ASA, adaptive_sparse_attention, \
         predict_block_scores

@@ -119,6 +119,9 @@ def tokenize(preset, prompts, tokenizer_dir=None):
 
 
 def main():
+    from blade.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     args = get_args()
     pipe = build_pipeline(args)
     preset = pipe.preset

@@ -39,6 +39,9 @@ def main():
     from blade.parallel.launch import maybe_initialize_distributed
 
     maybe_initialize_distributed()
+    from blade.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     args = get_args()
     from blade.cli.inference import build_pipeline
     from blade.evalsuite.sampler import SamplerConfig, run_sampler

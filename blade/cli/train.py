@@ -89,6 +89,9 @@ def main():
     from blade.parallel.launch import maybe_initialize_distributed
 
     maybe_initialize_distributed()
+    from blade.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     args = get_args()
     from blade import config as C
     from blade.attention.integration import make_asa_attention_fn
