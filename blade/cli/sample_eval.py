@@ -32,6 +32,9 @@ def get_args():
     p.add_argument("--dense", dest="sparse", action="store_false")
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel devices for batched generation "
+                        "(0 = all local devices, 1 = off)")
     return p.parse_args()
 
 
@@ -76,12 +79,31 @@ def main():
             ids, mask = tokenize(preset, batch, tok_dir)
             return pipe.encode_prompts(ids, mask)
 
-    def generate_fn(embeds, seeds):
-        frames = pipe.generate_batch(
-            embeds, seeds, num_steps=cfg.num_steps,
+    # Batched generation jitted over a local dp mesh: every local chip
+    # works on a slice of the batch (the reference used one worker process
+    # per GPU; here XLA partitions one program).
+    dp = args.dp or jax.local_device_count()
+    if dp > 1:
+        from blade.parallel import mesh as M
+
+        if cfg.batch_size % dp:
+            cfg.batch_size = -(-cfg.batch_size // dp) * dp
+            print(f"batch_size rounded up to {cfg.batch_size} (dp={dp})")
+        mesh = M.make_mesh(dp=dp, devices=jax.local_devices()[:dp])
+        dp_generate = pipe.make_dp_generate(
+            mesh, num_steps=cfg.num_steps,
             guidance_scale=cfg.guidance_scale,
         )
-        return np.asarray(frames)
+
+        def generate_fn(embeds, seeds):
+            return np.asarray(dp_generate(embeds, seeds))
+    else:
+        def generate_fn(embeds, seeds):
+            frames = pipe.generate_batch(
+                embeds, seeds, num_steps=cfg.num_steps,
+                guidance_scale=cfg.guidance_scale,
+            )
+            return np.asarray(frames)
 
     stats = run_sampler(generate_fn, embeds_fn, prompts, cfg)
     print(json.dumps(stats))

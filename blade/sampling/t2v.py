@@ -199,6 +199,51 @@ class T2VPipeline:
             )
         return self.decode_latents(latents, tiled=tiled_vae)
 
+    def make_dp_generate(
+        self,
+        mesh,
+        *,
+        num_steps: int = 8,
+        guidance_scale: float = 1.0,
+        tiled_vae: bool = False,
+    ):
+        """Jitted, data-parallel ``(embeds, seeds) -> frames`` over a mesh.
+
+        The eval sampler's TPU answer to the reference's one-process-per-GPU
+        workers (``simple_multiprocess_sampler.py:296-309``): params are
+        replicated over the ``dp`` axis, the batch (prompt embeddings and
+        per-sample seeds) is sharded over it, and XLA partitions the whole
+        batched sampler.  Per-sample seed reproducibility is unchanged —
+        noise is derived per sample from its own seed.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from blade.parallel import mesh as M
+
+        self.dit_params = M.replicate(self.dit_params, mesh)
+        self.vae_params = M.replicate(self.vae_params, mesh)
+        if self.text_params is not None:
+            self.text_params = M.replicate(self.text_params, mesh)
+
+        batch_sharding = NamedSharding(mesh, P("dp"))
+
+        @jax.jit
+        def _generate(embeds, seeds):
+            return self.generate_batch(
+                embeds, seeds, num_steps=num_steps,
+                guidance_scale=guidance_scale, tiled_vae=tiled_vae,
+            )
+
+        def generate_fn(embeds, seeds):
+            embeds = jax.device_put(
+                embeds, NamedSharding(mesh, P("dp", None, None))
+            )
+            seeds = jax.device_put(jnp.asarray(seeds, jnp.uint32),
+                                   batch_sharding)
+            return _generate(embeds, seeds)
+
+        return generate_fn
+
     # ---------------------------------------------------------- init utils
     @classmethod
     def random_init(

@@ -4,6 +4,7 @@ import json
 import os
 import sys
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -93,3 +94,37 @@ def test_score_aggregation(tmp_path):
     perfect = {k: 1.0 for k in raw}
     s2 = final_scores(perfect)
     assert s2["total"] > 0.99
+
+
+def test_dp_mesh_batched_generation_preserves_seeds(tmp_path):
+    """VERDICT r1 #7: the eval path shards the generation batch over a dp
+    mesh of local devices; per-sample seeds must produce the same videos as
+    the unsharded path."""
+    import jax
+    import numpy as np
+
+    from blade import config as C
+    from blade.parallel import mesh as M
+    from blade.sampling.t2v import T2VPipeline
+
+    assert len(jax.devices()) >= 4  # conftest provides 8 virtual CPU devices
+    pipe = T2VPipeline.random_init(
+        C.WAN_TINY_PRESET, jax.random.PRNGKey(0), sparse=False,
+        dtype=jnp.float32, with_text_encoder=False,
+    )
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (4, C.WAN_TINY_PRESET.max_text_len, C.WAN_TINY_PRESET.text.d_model),
+    )
+    seeds = np.array([7, 1007, 2007, 42], np.uint32)
+
+    ref = np.asarray(pipe.generate_batch(embeds, seeds, num_steps=2))
+
+    mesh = M.make_mesh(dp=4, devices=jax.devices()[:4])
+    gen = pipe.make_dp_generate(mesh, num_steps=2)
+    out = np.asarray(gen(embeds, seeds))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+    # seed contract: permuting seeds permutes outputs
+    out_perm = np.asarray(gen(embeds[::-1].copy(), seeds[::-1].copy()))
+    np.testing.assert_allclose(out_perm[::-1], out, atol=2e-4)
