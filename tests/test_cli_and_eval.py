@@ -128,3 +128,21 @@ def test_dp_mesh_batched_generation_preserves_seeds(tmp_path):
     # seed contract: permuting seeds permutes outputs
     out_perm = np.asarray(gen(embeds[::-1].copy(), seeds[::-1].copy()))
     np.testing.assert_allclose(out_perm[::-1], out, atol=2e-4)
+
+
+def test_visualize_cli_writes_heatmaps(tmp_path):
+    """Analysis tooling parity (reference visualize_head_seq +
+    gilbert_visualization): CLI renders mask heatmaps and the curve plot."""
+    import sys
+
+    out = str(tmp_path / "viz")
+    argv = sys.argv
+    sys.argv = ["x", "--family", "wan", "--tiny", "--peaked", "--out", out]
+    try:
+        from blade.cli.visualize import main
+
+        main()
+    finally:
+        sys.argv = argv
+    assert os.path.exists(os.path.join(out, "masks.png"))
+    assert os.path.exists(os.path.join(out, "gilbert_path.png"))
