@@ -330,6 +330,154 @@ def _sparse_fwd_kernel(
     lse_ref[0] = jnp.broadcast_to(jnp.transpose(lse, (1, 0)), lse_ref.shape[1:])
 
 
+SPARSE_ROWS = 4  # mask rows processed per grid step (shared DMA pipeline)
+
+
+def _sparse_fwd_rows_kernel(
+    cnt_ref,  # scalar prefetch [BH, nQt] int32
+    idx_hbm,  # [BH, nQt, 8, maxK] int32 (HBM)
+    q_ref,  # [1, R*q_block, D]
+    kv_ref,  # ANY packed K/V records
+    o_ref,  # [1, R*q_block, D]
+    lse_ref,  # [1, 8, R*q_block]
+    idxbuf,  # SMEM (2, R, 8, maxK)
+    kvbuf,  # VMEM (NBUF, GROUP, ...)
+    sem, idx_sem,
+    *, scale, bias, kv_valid_len, kv_pad_len, q_block, lane_pack=False,
+):
+    """Multi-row grouped gather forward: R mask rows share one grid step.
+
+    Low-density rows leave each 128-row grid step with only 1-2 gather
+    iterations, so the per-step pipeline overhead (~1.6us on v5e) dominates
+    — at CogVideoX geometry (48 heads x 139 rows) that floor alone was
+    ~11 ms.  Packing R rows per step divides the step count by R; each row
+    keeps its own index list and m/l/acc (no union-style MXU waste), and
+    the kv DMA pipeline runs over the *flattened* (row, iteration) space so
+    it stays full across row boundaries.
+    """
+    segs = GROUP
+    seg_rows = KV_BLOCK
+    r_rows = SPARSE_ROWS
+    bh = pl.program_id(0)
+    step = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+    par = jax.lax.rem(step + bh * n_steps, 2)
+    nxt_par = jax.lax.rem(step + bh * n_steps + 1, 2)
+
+    def idx_copy(buf_par, b_i, s_i):
+        return pltpu.make_async_copy(
+            idx_hbm.at[b_i, pl.ds(s_i * r_rows, r_rows)],
+            idxbuf.at[buf_par], idx_sem.at[buf_par],
+        )
+
+    @pl.when(step + bh == 0)
+    def _first_list():
+        idx_copy(par, bh, step).start()
+    idx_copy(par, bh, step).wait()
+    nxt_s = jax.lax.rem(step + 1, n_steps)
+    nxt_bh = bh + jnp.where(step + 1 == n_steps, 1, 0)
+
+    @pl.when(nxt_bh < pl.num_programs(0))
+    def _next_list():
+        idx_copy(nxt_par, nxt_bh, nxt_s).start()
+
+    counts = [cnt_ref[bh, step * r_rows + r] for r in range(r_rows)]
+    iters = [pl.cdiv(c, segs) for c in counts]
+    base = [jnp.int32(0)]
+    for r in range(r_rows - 1):
+        base.append(base[-1] + iters[r])
+    total = base[-1] + iters[-1]
+
+    def row_of(g):
+        r_g = jnp.int32(0)
+        for r in range(1, r_rows):
+            r_g = jnp.where(g >= base[r], jnp.int32(r), r_g)
+        return r_g
+
+    def kv_copy(slot, g, u):
+        r_g = row_of(g)
+        local = g - base[0]
+        for r in range(1, r_rows):
+            local = jnp.where(r_g == r, g - base[r], local)
+        blk = idxbuf[par, r_g, 0, segs * local + u]
+        rec = seg_rows if lane_pack else 2 * seg_rows
+        return pltpu.make_async_copy(
+            kv_ref.at[bh, pl.ds(blk * rec, rec), :], kvbuf.at[slot, u],
+            sem.at[slot, u],
+        )
+
+    def prefetch(g):
+        @pl.when(g < total)
+        def _():
+            slot = jax.lax.rem(g, NBUF)
+            for u in range(segs):
+                kv_copy(slot, g, u).start()
+
+    for g0 in range(NBUF):
+        prefetch(jnp.int32(g0))
+
+    d = q_ref.shape[-1]
+    width = segs * seg_rows
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_block, width), 1)
+    lane = col % seg_rows
+    grp = col // seg_rows
+
+    for r in range(r_rows):  # python-unrolled: static row slices
+        q = q_ref[0, r * q_block:(r + 1) * q_block, :]
+        count = counts[r]
+
+        def body(t, carry, r=r, count=count):
+            m, l, acc = carry
+            g = base[r] + t
+            slot = jax.lax.rem(g, NBUF)
+            for u in range(segs):
+                kv_copy(slot, g, u).wait()
+            kv = kvbuf[slot]
+            if lane_pack:
+                kb = kv[:, :, :d].reshape(width, d)
+                vb = kv[:, :, d:].reshape(width, d)
+            else:
+                kb = kv[:, :seg_rows, :].reshape(width, d)
+                vb = kv[:, seg_rows:, :].reshape(width, d)
+            s = jax.lax.dot_general(
+                q, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale + bias
+            ok = (segs * t + grp) < count
+            if kv_valid_len < kv_pad_len:
+                src_col = jnp.zeros((q_block, width), jnp.int32)
+                for u in range(segs):
+                    blk_u = idxbuf[par, r, 0, segs * t + u]
+                    src_col = jnp.where(grp == u, blk_u * seg_rows + lane,
+                                        src_col)
+                ok = ok & (src_col < kv_valid_len)
+            s = jnp.where(ok, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc * alpha + pv
+            prefetch(g + NBUF)
+            return m_new, l, acc
+
+        m0 = jnp.full((q_block, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((q_block, 1), jnp.float32)
+        acc0 = jnp.zeros((q_block, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, iters[r], body, (m0, l0, acc0))
+
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, r * q_block:(r + 1) * q_block, :] = (
+            acc / l_safe).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+        lse_ref[0, :, r * q_block:(r + 1) * q_block] = jnp.broadcast_to(
+            jnp.transpose(lse, (1, 0)), (8, q_block))
+
+
 QGROUP = 2  # mask rows sharing one gathered q tile (union gathering)
 # Union gathering helps only when adjacent mask rows overlap heavily (high
 # Gilbert locality); on uncorrelated masks the row-masked MXU waste loses
@@ -1293,11 +1441,19 @@ def gather_backward(
 
 def _fwd_call_direct(q, k, v, mask, *, scale, bias, kv_valid_len, q_block,
                      interpret, kw):
-    """128-row-tile grouped gather forward (default sparse path)."""
+    """Multi-row grouped gather forward (default sparse path)."""
     bh, lq, d = q.shape
     lk_pad = k.shape[1]
-    n_qt = lq // q_block
     n_kt = lk_pad // KV_BLOCK
+    r_rows = SPARSE_ROWS
+    # Pad the row dimension so each grid step covers exactly R mask rows.
+    n_qt = lq // q_block
+    if n_qt % r_rows:
+        pad_rows = r_rows - n_qt % r_rows
+        q = jnp.pad(q, ((0, 0), (0, pad_rows * q_block), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad_rows), (0, 0)))
+        n_qt += pad_rows
+    lq_padded = n_qt * q_block
     kv_idx, kv_cnt = _tile_lists(*mask_to_block_lists(mask))
     if kv_idx.shape[-1] % GROUP:
         padn = GROUP - kv_idx.shape[-1] % GROUP
@@ -1318,29 +1474,29 @@ def _fwd_call_direct(q, k, v, mask, *, scale, bias, kv_valid_len, q_block,
         kv_buf_shape = (NBUF, GROUP, 2 * KV_BLOCK, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh, n_qt),
+        grid=(bh, n_qt // r_rows),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, r_rows * q_block, d), lambda b, i, *_: (b, i, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, q_block, d), lambda b, i, *_: (b, i, 0)),
-            pl.BlockSpec((1, 8, q_block), lambda b, i, *_: (b, 0, i)),
+            pl.BlockSpec((1, r_rows * q_block, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, 8, r_rows * q_block), lambda b, i, *_: (b, 0, i)),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2, 8, max_k), jnp.int32),
+            pltpu.SMEM((2, r_rows, 8, max_k), jnp.int32),
             pltpu.VMEM(kv_buf_shape, k.dtype),
             pltpu.SemaphoreType.DMA((NBUF, GROUP)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out, lse8 = pl.pallas_call(
-        functools.partial(_sparse_fwd_kernel, lane_pack=lane_pack, **kw),
+        functools.partial(_sparse_fwd_rows_kernel, lane_pack=lane_pack, **kw),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, 8, lq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, lq_padded, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 8, lq_padded), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -1350,4 +1506,4 @@ def _fwd_call_direct(q, k, v, mask, *, scale, bias, kv_valid_len, q_block,
             transcendentals=bh * lq * max_k * KV_BLOCK,
         ),
     )(kv_cnt, kv_idx, q, kv_packed)
-    return out, lse8[:, 0, :]
+    return out[:, :lq], lse8[:, 0, :lq]

@@ -221,6 +221,7 @@ _pooled_level_core.defvjp(_pooled_level_core_fwd, _pooled_level_core_bwd)
 def _pooled_level_fwd_only(q, k_pool, v_pool, block_mask, level, scale,
                            pooled_valid_len, q_block, tile_width, interpret):
     bh, lq, d = q.shape
+    lq_orig = lq
     n_qt = lq // q_block
     seg_rows = KV_BLOCK // level
     segs = max(tile_width // seg_rows, 1)
@@ -315,7 +316,7 @@ def _pooled_level_fwd_only(q, k_pool, v_pool, block_mask, level, scale,
         ],
         interpret=interpret,
     )(cnt, idx4, q, kv_packed)
-    return out, lse8[:, 0, :]
+    return out[:, :lq_orig], lse8[:, 0, :lq_orig]
 
 
 def multilevel_attention(
@@ -340,33 +341,35 @@ def multilevel_attention(
     if interpret is None:
         interpret = _interpret_default()
 
-    # Sub-128 head dims: zero-pad once here (see block_sparse_attention).
+    # Level-1 pass: exact per-block attention via the binary sparse kernel
+    # at the ORIGINAL head dim (it lane-packs d=64 internally; pre-padding
+    # to 128 here would double its work).
     d_orig = d
-    if d < 128:
-        pad_d = 128 - d
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
-        d = 128
-
-    # Level-1 pass: exact per-block attention via the binary sparse kernel.
     out1, lse1 = block_sparse_attention(
         q, k, v, levels == 1, scale=scale, interpret=interpret
     )
     outs = [out1.astype(jnp.float32)]
     lses = [lse1]
 
-    # Pooled pyramids use replicate padding so tail blocks pool plausible
-    # tokens (reference pads with `mode='replicate'` before pooling).
+    # Pooled passes need lane-complete (128-wide) DMA records: pool the
+    # pyramids at the original head dim first (half the pooling traffic at
+    # d=64), then zero-pad the head dim.
+    if d < 128:
+        pad_d = 128 - d
+        dpad = lambda t: jnp.pad(t, ((0, 0),) * (t.ndim - 1) + ((0, pad_d),))
+    else:
+        pad_d = 0
+        dpad = lambda t: t
+
     lq_pad = -(-lq // 128) * 128
     kp_full = pad_to_block_multiple(k, 128, axis=2)
     vp_full = pad_to_block_multiple(v, 128, axis=2)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0))) if lq_pad != lq else q
-    qp = qp.reshape(b * h, lq_pad, d)
+    qp = dpad(qp).reshape(b * h, lq_pad, d + pad_d)
 
     for level in (2, 4, 8):
-        kp = mean_pool_kv(kp_full, level).reshape(b * h, -1, d)
-        vp = mean_pool_kv(vp_full, level).reshape(b * h, -1, d)
+        kp = dpad(mean_pool_kv(kp_full, level)).reshape(b * h, -1, d + pad_d)
+        vp = dpad(mean_pool_kv(vp_full, level)).reshape(b * h, -1, d + pad_d)
         mask_l = (levels == level).reshape(b * h, levels.shape[-2], levels.shape[-1])
         out_l, lse_l = pooled_level_attention(
             qp, kp, vp, mask_l,
@@ -374,10 +377,11 @@ def multilevel_attention(
             pooled_valid_len=-(-lk // level),
             interpret=interpret,
         )
-        out_l = out_l.reshape(b, h, lq_pad, d)[:, :, :lq]
+        # Drop the head-dim padding BEFORE the f32 merge (halves its traffic)
+        out_l = out_l.reshape(b, h, lq_pad, d + pad_d)[:, :, :lq, :d_orig]
         lse_l = lse_l.reshape(b, h, lq_pad)[:, :, :lq]
         outs.append(out_l.astype(jnp.float32))
         lses.append(lse_l)
 
     out, lse = merge_attention(outs, lses)
-    return out[..., :d_orig].astype(q.dtype), lse
+    return out.astype(q.dtype), lse
