@@ -144,6 +144,20 @@ def predict_block_scores(
     )
 
 
+def compute_mask(rng, q, k, cfg: ASAConfig):
+    """The data-dependent mask for (q, k): multilevel int levels or the
+    boolean energy mask (both derivable from the pooled score estimate)."""
+    scores = predict_block_scores(rng, q, k, cfg)
+    if cfg.mask_mode == "multilevel":
+        return M.multilevel_mask(scores, cfg.mask_ratios)
+    return M.energy_mask(
+        scores,
+        min_retain_ratio=cfg.min_retain_ratio,
+        max_retain_ratio=cfg.max_retain_ratio,
+        energy_threshold=cfg.energy_threshold,
+    )
+
+
 def adaptive_sparse_attention(
     rng: jax.Array,
     q: jnp.ndarray,
@@ -152,16 +166,20 @@ def adaptive_sparse_attention(
     cfg: ASAConfig,
     *,
     interpret: Optional[bool] = None,
+    mask: Optional[jnp.ndarray] = None,
 ):
     """Training-path ASA over already-(re)arranged ``[B, H, L, D]``.
 
+    ``mask``: optional precomputed mask (from :func:`compute_mask`) — the
+    opt-in VSA-style reuse across denoise steps skips the predictor.
     Returns ``(out, sparsity)`` where sparsity mirrors the reference metric
     ``1 - mask.mean() - 1/sample_gap``.
     """
-    scores = predict_block_scores(rng, q, k, cfg)
+    if mask is None:
+        mask = compute_mask(rng, q, k, cfg)
 
     if cfg.mask_mode == "multilevel":
-        levels = M.multilevel_mask(scores, cfg.mask_ratios)
+        levels = mask
         out, _ = multilevel_attention(q, k, v, levels, interpret=interpret)
         ratios = cfg.mask_ratios or M.DEFAULT_MASK_RATIOS
         density = sum(
@@ -169,12 +187,6 @@ def adaptive_sparse_attention(
         )
         return out, jnp.asarray(1.0 - density, jnp.float32)
 
-    mask = M.energy_mask(
-        scores,
-        min_retain_ratio=cfg.min_retain_ratio,
-        max_retain_ratio=cfg.max_retain_ratio,
-        energy_threshold=cfg.energy_threshold,
-    )
     out1, lse1 = block_sparse_attention(q, k, v, mask, interpret=interpret)
 
     # Low-res global branch: sample_gap-mean-pooled K/V with +log(gap) bias
@@ -207,12 +219,15 @@ def asa_attention(
     cfg: ASAConfig,
     *,
     interpret: Optional[bool] = None,
+    mask: Optional[jnp.ndarray] = None,
+    return_mask: bool = False,
 ):
     """Full ASA: gilbert rearrange -> adaptive sparse attention -> restore.
 
     ``q, k, v``: ``[B, H, text_length + video_tokens, D]`` with the text
     segment first (CogVideoX layout; ``text_length == 0`` for Wan).
-    Returns ``(out, sparsity)``.
+    ``mask``/``return_mask`` support cross-step mask reuse: masks live in
+    arranged-token coordinates.  Returns ``(out, sparsity[, mask])``.
     """
     rearrange = cfg.use_rearrange and not cfg.pre_arranged
     if rearrange:
@@ -220,7 +235,13 @@ def asa_attention(
         q = gilbert.rearrange_tokens(q, perm, cfg.text_length)
         k = gilbert.rearrange_tokens(k, perm, cfg.text_length)
         v = gilbert.rearrange_tokens(v, perm, cfg.text_length)
-    out, sparsity = adaptive_sparse_attention(rng, q, k, v, cfg, interpret=interpret)
+    if mask is None:
+        mask = compute_mask(rng, q, k, cfg)
+    out, sparsity = adaptive_sparse_attention(
+        rng, q, k, v, cfg, interpret=interpret, mask=mask
+    )
     if rearrange:
         out = gilbert.unrearrange_tokens(out, inv, cfg.text_length)
+    if return_mask:
+        return out, sparsity, mask
     return out, sparsity

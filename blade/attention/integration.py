@@ -68,15 +68,26 @@ def make_asa_attention_fn(
     every 800 calls, ``cogvideo_blocksparseattn.py:414-420``).
     """
 
-    def attention_fn(q, k, v, *, rng=None, layer_index=0, **_):
+    def attention_fn(q, k, v, *, rng=None, layer_index=0, masks=None,
+                     collect_mask=False, **_):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         rng = jax.random.fold_in(rng, layer_index)
-        out, sparsity = asa_attention(rng, q, k, v, asa_cfg, interpret=interpret)
+        # Cross-step mask reuse: `masks` is a per-layer stack [L, ...]
+        # computed earlier (collect_mask=True returns (out, mask) so the
+        # model can sow it); see sampling/pipeline.sample_wan.
+        mask = None if masks is None else masks[layer_index]
+        out, sparsity, mask = asa_attention(
+            rng, q, k, v, asa_cfg, interpret=interpret, mask=mask,
+            return_mask=True,
+        )
         if log_sparsity_every and layer_index % log_sparsity_every == 0:
             jax.debug.print(
                 "asa sparsity layer {l}: {s:.4f}", l=layer_index, s=sparsity
             )
-        return out.astype(q.dtype)
+        out = out.astype(q.dtype)
+        if collect_mask:
+            return out, mask
+        return out
 
     return attention_fn

@@ -42,6 +42,9 @@ def get_args():
     p.add_argument("--mask_mode", choices=["energy", "multilevel"],
                    default="multilevel")
     p.add_argument("--tiled_vae", action="store_true")
+    p.add_argument("--mask_refresh_every", type=int, default=0,
+                   help="reuse ASA masks across denoise steps, re-predicting "
+                        "every N steps (0/1 = off; wan only)")
     p.add_argument("--random-init", action="store_true",
                    help="random weights (smoke/benchmark)")
     p.add_argument("--tiny", action="store_true", help="tiny CPU preset")
@@ -170,6 +173,7 @@ def main():
                 text, rng=jax.random.PRNGKey(args.seed + i),
                 num_steps=args.steps, guidance_scale=args.guidance_scale,
                 neg_text_embeds=neg, tiled_vae=args.tiled_vae,
+                mask_refresh_every=args.mask_refresh_every,
             )
             path = os.path.join(args.output_dir, f"video_{i:04d}.mp4")
             out = export_video(np.asarray(frames[0]), path, fps=preset.video.fps)

@@ -355,8 +355,17 @@ def sample_validation_videos(args, preset, model, family, cfg, state, batch,
 
         vae_params = load_vae_params(args.weights, preset)
     else:
-        vae_params = vae.init(jax.random.PRNGKey(0), z, method=vae.decode)
-    frames = np.clip(vae.apply(vae_params, z, method=vae.decode), -1.0, 1.0)
+        # Shape-independent init on a tiny latent (full-size traces OOM).
+        vae_params = vae.init(
+            jax.random.PRNGKey(0), z[:, :1, :8, :8], method=vae.decode
+        )
+    from blade.models.vae_wan import WanVAE, streaming_decode
+
+    if isinstance(vae, WanVAE) and z.shape[1] > 2:
+        frames = streaming_decode(vae, vae_params, z, chunk_latents=1)
+    else:
+        frames = vae.apply(vae_params, z, method=vae.decode)
+    frames = np.clip(frames, -1.0, 1.0)
     import os
 
     out = os.path.join(args.output_dir, f"videos_{step_idx + 1}.mp4")

@@ -92,6 +92,12 @@ class WanSelfAttention(nn.Module):
         q = apply_rope(q, rope_cos, rope_sin)
         k = apply_rope(k, rope_cos, rope_sin)
         out = self.attention_fn(q, k, v, **attn_kwargs)
+        if isinstance(out, tuple):
+            # attention_fn collected an aux (e.g. the ASA mask for
+            # cross-step reuse): expose it via the intermediates collection
+            # (stacked over layers by nn.scan).
+            out, aux = out
+            self.sow("intermediates", "attn_aux", aux)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, c.dim).astype(self.dtype)
         return dense("to_out")(out)
 
@@ -239,7 +245,7 @@ class WanModel(nn.Module):
         if self.scan_layers:
             scan_blocks = nn.scan(
                 block_cls,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "intermediates": 0},
                 split_rngs={"params": True},
                 in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast,
                          nn.broadcast, nn.broadcast),

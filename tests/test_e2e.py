@@ -68,3 +68,43 @@ def test_generate_batch_seed_independence():
     )
     # Different seeds differ.
     assert np.abs(np.asarray(both[0]) - np.asarray(both[1])).max() > 1e-3
+
+
+def test_wan_mask_reuse_across_steps():
+    """Opt-in VSA-style mask reuse: masks predicted on refresh steps are
+    replayed in between.  With a full-retention config the mask is constant,
+    so reuse must match per-step prediction exactly; with the normal config
+    it must stay finite and differ from baseline only moderately."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blade import config as C
+    from blade.sampling.t2v import T2VPipeline
+
+    preset = dataclasses.replace(C.WAN_TINY_PRESET, min_retain_ratio=1.0,
+                                 max_retain_ratio=1.0)
+    pipe = T2VPipeline.random_init(
+        preset, jax.random.PRNGKey(0), sparse=True, mask_mode="energy",
+        dtype=jnp.float32, with_text_encoder=False,
+    )
+    text = jax.random.normal(
+        jax.random.PRNGKey(1), (1, preset.max_text_len, preset.text.d_model)
+    )
+    base = pipe.sample_latents(text, rng=jax.random.PRNGKey(2), num_steps=4)
+    reused = pipe.sample_latents(
+        text, rng=jax.random.PRNGKey(2), num_steps=4, mask_refresh_every=2
+    )
+    np.testing.assert_allclose(np.asarray(reused), np.asarray(base),
+                               atol=1e-5)
+
+    pipe2 = T2VPipeline.random_init(
+        C.WAN_TINY_PRESET, jax.random.PRNGKey(0), sparse=True,
+        mask_mode="energy", dtype=jnp.float32, with_text_encoder=False,
+    )
+    out = pipe2.sample_latents(
+        text, rng=jax.random.PRNGKey(2), num_steps=4, mask_refresh_every=4
+    )
+    assert np.isfinite(np.asarray(out)).all()
