@@ -29,14 +29,16 @@ def asa_model_kwargs(
 ) -> dict:
     """Model kwargs wiring ASA the TPU-first way.
 
-    For video-only attention (Wan: ``text_length == 0``) the gilbert
-    permutation is hoisted to the model level: tokens are permuted once
-    per forward (``WanModel.token_perm``) and the attention runs
-    ``pre_arranged`` — removing 4 full-tensor gathers per layer (~6 ms x
-    30 layers at 480p).  Joint text+video attention (CogVideoX) keeps the
-    per-call arrangement.
+    The gilbert permutation is hoisted to the model level: tokens are
+    permuted once per forward (``WanModel.token_perm`` /
+    ``CogVideoXModel.token_perm``) and the attention runs ``pre_arranged``
+    — removing 4 full-tensor gathers per layer (~6 ms x 30 layers at Wan
+    480p).  For CogVideoX the model also switches the joint concat to
+    ``[video, text]`` (``text_last``) so ASA sees 128-block-aligned video
+    tokens with no per-call text move (the reference re-shuffles text to
+    the back inside every attention call).
     """
-    if asa_cfg.use_rearrange and asa_cfg.text_length == 0:
+    if asa_cfg.use_rearrange:
         perm, inv = asa_cfg.permutations()
         cfg = dataclasses.replace(asa_cfg, pre_arranged=True)
         return {

@@ -94,7 +94,6 @@ def main():
     _enable_cache()
     args = get_args()
     from blade import config as C
-    from blade.attention.integration import make_asa_attention_fn
     from blade.config import derive_asa_config
     from blade.models.cogvideox_dit import CogVideoXModel
     from blade.models.wan_dit import WanModel
@@ -120,13 +119,9 @@ def main():
 
     kwargs = {}
     if args.use_sparsity:
-        asa_cfg = derive_asa_config(preset, "energy")
-        if preset.name == "wan":
-            from blade.attention.integration import asa_model_kwargs
+        from blade.attention.integration import asa_model_kwargs
 
-            kwargs = asa_model_kwargs(asa_cfg)
-        else:
-            kwargs = {"attention_fn": make_asa_attention_fn(asa_cfg)}
+        kwargs = asa_model_kwargs(derive_asa_config(preset, "energy"))
     remat = args.remat if args.remat is not None else not args.tiny
     kwargs["remat"] = remat
     if preset.name == "wan":

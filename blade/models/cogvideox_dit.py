@@ -89,17 +89,28 @@ class LayerNormZero(nn.Module):
 
 
 class CogJointAttention(nn.Module):
-    """Joint [text, video] self-attention with QK layer-norm and video RoPE."""
+    """Joint [text, video] self-attention with QK layer-norm and video RoPE.
+
+    ``text_last=True`` concatenates ``[video, text]`` instead — used with
+    model-level gilbert arrangement so the ASA path sees 128-block-aligned
+    video tokens first without a per-call text move (the reference moves
+    text behind video inside every attention call)."""
 
     cfg: CogVideoXConfig
     dtype: Any = jnp.bfloat16
     attention_fn: Callable = dense_attention_fn
+    text_last: bool = False
 
     @nn.compact
     def __call__(self, hidden, enc, rope_cos, rope_sin, attn_kwargs):
         c = self.cfg
         text_len = enc.shape[1]
-        x = jnp.concatenate([enc, hidden], axis=1)
+        if self.text_last:
+            x = jnp.concatenate([hidden, enc], axis=1)
+            vid = slice(0, hidden.shape[1])
+        else:
+            x = jnp.concatenate([enc, hidden], axis=1)
+            vid = slice(text_len, None)
         b, l, _ = x.shape
         dense = lambda name: nn.Dense(
             c.dim, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
@@ -117,14 +128,23 @@ class CogJointAttention(nn.Module):
         q = qk_norm("norm_q")(q).astype(v.dtype)
         k = qk_norm("norm_k")(k).astype(v.dtype)
         # RoPE on the video segment only (reference modify_cogvideo.py:59-64).
-        q_vid = apply_rope(q[:, :, text_len:], rope_cos, rope_sin)
-        k_vid = apply_rope(k[:, :, text_len:], rope_cos, rope_sin)
-        q = jnp.concatenate([q[:, :, :text_len], q_vid], axis=2)
-        k = jnp.concatenate([k[:, :, :text_len], k_vid], axis=2)
+        def rope_segment(t):
+            t_vid = apply_rope(t[:, :, vid], rope_cos, rope_sin)
+            if self.text_last:
+                return jnp.concatenate([t_vid, t[:, :, hidden.shape[1]:]],
+                                       axis=2)
+            return jnp.concatenate([t[:, :, :text_len], t_vid], axis=2)
+
+        q, k = rope_segment(q), rope_segment(k)
 
         out = self.attention_fn(q, k, v, **attn_kwargs)
+        if isinstance(out, tuple):
+            out, aux = out
+            self.sow("intermediates", "attn_aux", aux)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, c.dim).astype(self.dtype)
         out = dense("to_out")(out)
+        if self.text_last:
+            return out[:, :hidden.shape[1]], out[:, hidden.shape[1]:]
         return out[:, text_len:], out[:, :text_len]
 
 
@@ -132,6 +152,7 @@ class CogVideoXBlock(nn.Module):
     cfg: CogVideoXConfig
     dtype: Any = jnp.bfloat16
     attention_fn: Callable = dense_attention_fn
+    text_last: bool = False
 
     @nn.compact
     def __call__(self, carry, layer_idx, temb, rope_cos, rope_sin, attn_kwargs):
@@ -142,7 +163,7 @@ class CogVideoXBlock(nn.Module):
         n_h, n_e, gate, e_gate = LayerNormZero(c.dim, c.eps, self.dtype,
                                                name="norm1")(hidden, enc, temb)
         attn_h, attn_e = CogJointAttention(c, self.dtype, self.attention_fn,
-                                           name="attn1")(
+                                           self.text_last, name="attn1")(
             n_h, n_e, rope_cos, rope_sin, attn_kwargs
         )
         hidden = hidden + (gate * attn_h.astype(jnp.float32)).astype(hidden.dtype)
@@ -168,6 +189,10 @@ class CogVideoXModel(nn.Module):
     attention_fn: Callable = dense_attention_fn
     scan_layers: bool = True
     remat: bool = False
+    # (perm, inv) over the video token grid: permute once after patchify
+    # instead of 4x per attention call (pairs with ASAConfig.pre_arranged;
+    # implies text_last — ASA sees [video_gilbert, text] directly).
+    token_perm: Optional[Tuple[Any, Any]] = None
 
     @nn.compact
     def __call__(self, latents, timestep, text_embeds, attn_kwargs=None):
@@ -197,6 +222,11 @@ class CogVideoXModel(nn.Module):
                         param_dtype=jnp.float32, name="time_embed_2")(temb)
 
         cos, sin = rope_3d_tables(c.head_dim, (t, gh, gw), dims_thw=c.rope_dims)
+        text_last = self.token_perm is not None
+        if text_last:
+            perm, _inv = self.token_perm
+            x = jnp.take(x, jnp.asarray(perm), axis=1)
+            cos, sin = cos[perm], sin[perm]  # static numpy permute (free)
         cos, sin = jnp.asarray(cos), jnp.asarray(sin)
 
         block_cls = CogVideoXBlock
@@ -206,20 +236,21 @@ class CogVideoXModel(nn.Module):
         if self.scan_layers:
             scan_blocks = nn.scan(
                 block_cls,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "intermediates": 0},
                 split_rngs={"params": True},
                 in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast,
                          nn.broadcast),
                 length=c.num_layers,
             )
             (hidden, enc), _ = scan_blocks(
-                c, self.dtype, self.attention_fn, name="blocks"
+                c, self.dtype, self.attention_fn, text_last, name="blocks"
             )((x, enc), layer_ids, temb, cos, sin, attn_kwargs)
         else:
             hidden = x
             for i in range(c.num_layers):
                 (hidden, enc), _ = block_cls(
-                    c, self.dtype, self.attention_fn, name=f"blocks_{i}"
+                    c, self.dtype, self.attention_fn, text_last,
+                    name=f"blocks_{i}",
                 )((hidden, enc), layer_ids[i], temb, cos, sin, attn_kwargs)
 
         # Final: joint LayerNorm over [text, video], then AdaLN + projection.
@@ -237,6 +268,9 @@ class CogVideoXModel(nn.Module):
                        param_dtype=jnp.float32, name="proj_out")(
             hidden.astype(self.dtype)
         )
+        if text_last:
+            # Un-permute on the small head output (p*p*C features << dim).
+            out = jnp.take(out, jnp.asarray(self.token_perm[1]), axis=1)
 
         # Unpatchify to [B, T, C, H, W].  diffusers orders proj_out features
         # channel-major: reshape (..., C, p, p) — NOT (..., p, p, C) — so the

@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from blade.attention.integration import make_asa_attention_fn
 from blade.config import FamilyPreset, derive_asa_config
 from blade.models.cogvideox_dit import CogVideoXModel
 from blade.models.t5 import T5Encoder
@@ -44,14 +43,10 @@ class T2VPipeline:
         p = self.preset
         kwargs = {}
         if self.sparse:
-            asa_cfg = derive_asa_config(p, self.mask_mode)
-            if p.name == "wan":
-                from blade.attention.integration import asa_model_kwargs
+            from blade.attention.integration import asa_model_kwargs
 
-                kwargs = asa_model_kwargs(asa_cfg, interpret=self.interpret)
-            else:
-                kwargs = {"attention_fn": make_asa_attention_fn(
-                    asa_cfg, interpret=self.interpret)}
+            asa_cfg = derive_asa_config(p, self.mask_mode)
+            kwargs = asa_model_kwargs(asa_cfg, interpret=self.interpret)
         if p.name == "wan":
             self.dit = WanModel(p.dit, dtype=self.dtype, **kwargs)
         else:

@@ -189,3 +189,31 @@ def test_sum_and_max_predictors_agree_on_selection():
     inter = (masks["max"] & masks["sum"]).sum()
     union = (masks["max"] | masks["sum"]).sum()
     assert inter / union > 0.7, (inter, union)
+
+
+def test_cog_model_level_arrangement_exact():
+    """CogVideoXModel.token_perm + text_last + pre_arranged ASA equals the
+    per-call rearrangement path bit-for-bit."""
+    from blade.attention.integration import asa_model_kwargs, make_asa_attention_fn
+    from blade.models.cogvideox_dit import COGVIDEOX_TINY, CogVideoXModel
+
+    cfg = ASAConfig(
+        latent_width=16, latent_height=8, latent_frames=4, text_length=16,
+        sample_gap=4, min_retain_ratio=0.25, max_retain_ratio=1.0,
+        sample_tokens_per_block=16,
+    )
+    rng = jax.random.PRNGKey(0)
+    lat = jax.random.normal(rng, (1, 4, 16, 16, 32))
+    t = jnp.ones((1,))
+    txt = jax.random.normal(rng, (1, 16, COGVIDEOX_TINY.text_embed_dim))
+
+    m1 = CogVideoXModel(COGVIDEOX_TINY, dtype=jnp.float32,
+                        attention_fn=make_asa_attention_fn(cfg, interpret=True))
+    params = m1.init(rng, lat, t, txt, attn_kwargs={"rng": rng})
+    ref = m1.apply(params, lat, t, txt, attn_kwargs={"rng": rng})
+
+    kwargs = asa_model_kwargs(cfg, interpret=True)
+    assert "token_perm" in kwargs
+    m2 = CogVideoXModel(COGVIDEOX_TINY, dtype=jnp.float32, **kwargs)
+    out = m2.apply(params, lat, t, txt, attn_kwargs={"rng": rng})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
