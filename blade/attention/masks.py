@@ -282,13 +282,11 @@ def multilevel_mask(
     for level, (lo, hi) in mask_ratios.items():
         lo_i, hi_i = max(0, int(n_k * lo)), min(n_k, int(n_k * hi))
         band = jnp.where((ranks >= lo_i) & (ranks < hi_i), level, band)
-    levels = jnp.put_along_axis(
-        jnp.zeros_like(scores, dtype=jnp.int32),
-        order,
-        jnp.broadcast_to(band, scores.shape),
-        axis=-1,
-        inplace=False,
-    )
+    # levels[c] = band[rank of c]; the inverse permutation via a second
+    # argsort + gather is much cheaper than a scatter (put_along_axis) on
+    # TPU (6.3 -> ~2 ms at CogVideoX geometry).
+    inv = jnp.argsort(order, axis=-1).astype(jnp.int32)
+    levels = band[inv]
     if force_last2:
         levels = _force_last2(levels, 1)
     return levels

@@ -422,11 +422,24 @@ def _sparse_fwd_rows_kernel(
     lane = col % seg_rows
     grp = col // seg_rows
 
+    n_kt = kv_pad_len // KV_BLOCK
     for r in range(r_rows):  # python-unrolled: static row slices
         q = q_ref[0, r * q_block:(r + 1) * q_block, :]
         count = counts[r]
+        # Ascending lists put the (only possibly partial) boundary block
+        # last: padded-tail masking is ONE column limit on the final gather
+        # iteration instead of a per-segment where-chain (the chain cost
+        # ~segs [128,1024] selects per iteration).
+        j_last = jnp.maximum(count - 1, 0)
+        t_last = j_last // segs
+        u_last = jax.lax.rem(j_last, segs)
+        last_entry = idxbuf[par, r, 0, j_last]
+        lim = jnp.where(
+            last_entry == n_kt - 1,
+            u_last * seg_rows + (kv_valid_len - (n_kt - 1) * seg_rows),
+            jnp.int32(width))
 
-        def body(t, carry, r=r, count=count):
+        def body(t, carry, r=r, count=count, t_last=t_last, lim=lim):
             m, l, acc = carry
             g = base[r] + t
             slot = jax.lax.rem(g, NBUF)
@@ -446,12 +459,8 @@ def _sparse_fwd_rows_kernel(
             s = s * scale + bias
             ok = (segs * t + grp) < count
             if kv_valid_len < kv_pad_len:
-                src_col = jnp.zeros((q_block, width), jnp.int32)
-                for u in range(segs):
-                    blk_u = idxbuf[par, r, 0, segs * t + u]
-                    src_col = jnp.where(grp == u, blk_u * seg_rows + lane,
-                                        src_col)
-                ok = ok & (src_col < kv_valid_len)
+                limit = jnp.where(t == t_last, lim, jnp.int32(width))
+                ok = ok & (col < limit)
             s = jnp.where(ok, s, NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             alpha = jnp.exp(m - m_new)
@@ -1057,18 +1066,13 @@ def _bwd_call(
     max_k = kv_idx.shape[-1]
     max_q = t_idx.shape[-1]
 
+    from blade.kernels.pack import pack_kv
+
     lane_pack = d == 64
+    kv_packed = pack_kv(k, v, lane_pack=lane_pack, interpret=interpret)
     if lane_pack:
-        kv_packed = jnp.concatenate(
-            [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
-            axis=3,
-        ).reshape(bh, n_kt * KV_BLOCK, 2 * d)
         kv_buf_shape = (NBUF, GROUP, KV_BLOCK, 2 * d)
     else:
-        kv_packed = jnp.concatenate(
-            [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
-            axis=2,
-        ).reshape(bh, n_kt * 2 * KV_BLOCK, d)
         kv_buf_shape = (NBUF, GROUP, 2 * KV_BLOCK, d)
 
     dq_grid = pltpu.PrefetchScalarGridSpec(
@@ -1459,18 +1463,13 @@ def _fwd_call_direct(q, k, v, mask, *, scale, bias, kv_valid_len, q_block,
         padn = GROUP - kv_idx.shape[-1] % GROUP
         kv_idx = jnp.pad(kv_idx, ((0, 0), (0, 0), (0, 0), (0, padn)), mode="edge")
     max_k = kv_idx.shape[-1]
+    from blade.kernels.pack import pack_kv
+
     lane_pack = d == 64
+    kv_packed = pack_kv(k, v, lane_pack=lane_pack, interpret=interpret)
     if lane_pack:
-        kv_packed = jnp.concatenate(
-            [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
-            axis=3,
-        ).reshape(bh, n_kt * KV_BLOCK, 2 * d)
         kv_buf_shape = (NBUF, GROUP, KV_BLOCK, 2 * d)
     else:
-        kv_packed = jnp.concatenate(
-            [k.reshape(bh, n_kt, KV_BLOCK, d), v.reshape(bh, n_kt, KV_BLOCK, d)],
-            axis=2,
-        ).reshape(bh, n_kt * 2 * KV_BLOCK, d)
         kv_buf_shape = (NBUF, GROUP, 2 * KV_BLOCK, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from blade.attention.masks import mask_to_block_lists, pad_to_block_multiple
 from blade.kernels.block_sparse_attn import (
+    GROUP,
     KV_BLOCK,
     NBUF,
     NEG_INF,
@@ -327,12 +328,19 @@ def multilevel_attention(
     *,
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
+    fused: Optional[bool] = None,
 ):
     """Multi-level pooled sparse attention over ``[B, H, L, D]``.
 
     ``levels``: int ``[B, H, n_q, n_k]`` in {0, 1, 2, 4, 8} (see
     ``blade.attention.masks.multilevel_mask``).  Returns ``(out, lse)``;
     differentiable in q/k/v.
+
+    ``fused=None`` auto-selects the single-pass fused kernel (all four
+    levels in one launch with a shared online-softmax carry) when the
+    geometry supports it: ``d == 64`` (lane-packed K|V records) with the
+    pooled pyramid within the VMEM budget.  ``fused=False`` forces the
+    per-level pass + exact LSE merge composition.
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -340,6 +348,13 @@ def multilevel_attention(
         scale = 1.0 / float(np.sqrt(d))
     if interpret is None:
         interpret = _interpret_default()
+
+    n_kt = -(-lk // KV_BLOCK)
+    pyr_bytes = n_kt * (64 + 32 + 16) * 2 * d * q.dtype.itemsize
+    if fused is None:
+        fused = d == 64 and n_kt <= 256 and pyr_bytes <= FUSED_PYR_BUDGET
+    if fused:
+        return _multilevel_fused(q, k, v, levels, scale, interpret)
 
     # Level-1 pass: exact per-block attention via the binary sparse kernel
     # at the ORIGINAL head dim (it lane-packs d=64 internally; pre-padding
@@ -384,4 +399,427 @@ def multilevel_attention(
         lses.append(lse_l)
 
     out, lse = merge_attention(outs, lses)
+    return out.astype(q.dtype), lse
+
+
+# ---------------------------------------------------------------------------
+# Fused single-pass multilevel kernel (levels 1 + 2 + 4 + 8 in one launch)
+# ---------------------------------------------------------------------------
+#
+# The per-level pass design pays the per-grid-step pipeline overhead
+# (~1.6 us on v5e) four times per mask row plus an external 4-way f32 LSE
+# merge; at CogVideoX geometry (48 heads x 139 rows) that floor alone is
+# ~40 ms.  Online softmax is associative over disjoint key sets, so all four
+# levels can share ONE (m, l, acc) carry inside one grid step:
+#
+#   * level 1 blocks are DMA-gathered from the original K/V (lane-packed
+#     K|V records for d == 64), with the DMA pipeline flattened across the
+#     FUSED_ROWS mask rows of the step;
+#   * levels 2/4/8 read a single concatenated lane-packed pooled pyramid
+#     kept VMEM-resident per (batch, head) — gathers are register copies;
+#   * all four per-row index lists ride ONE prefetched idx DMA, packed into
+#     the 8-sublane axis of the [nQt, 8, 128] list layout (sub_s sublanes
+#     of 128 entries per level).
+#
+# The kernel writes the merged (out, lse) directly — no external merge
+# traffic.  Exactness: each key block still contributes exp(s - lse) with
+# its level's +log(L) bias, identical to the per-pass + merge formulation.
+
+FUSED_ROWS = 4  # mask rows per grid step (shared level-1 DMA pipeline)
+FUSED_PYR_BUDGET = 5 * 1024 * 1024  # lane-packed pooled pyramid VMEM cap
+POOLED_TILE = 512  # MXU tile width of the pooled-level inner loops
+
+
+def _tail_limit(count, last_entry, seg_rows, segs, boundary_block,
+                boundary_rows, width):
+    """(t_last, column_limit) for final-iteration tail masking.
+
+    Index lists are ascending, so the only partially-valid (padded-tail)
+    block — id ``boundary_block`` with ``boundary_rows`` valid rows — can
+    only be the LAST entry.  Returns the iteration index of that entry and
+    the tile-column limit to apply there (= full width when the last entry
+    is not the boundary block)."""
+    j_last = jnp.maximum(count - 1, 0)
+    t_last = j_last // segs
+    u_last = jax.lax.rem(j_last, segs)
+    lim = jnp.where(last_entry == boundary_block,
+                    u_last * seg_rows + boundary_rows, jnp.int32(width))
+    return t_last, lim
+
+
+def _fused_ml_kernel(
+    cnt_ref,  # [BH, nQt*4] int32 (SMEM scalar prefetch; row-major levels
+    #           1,2,4,8 per mask row — 2-D: SMEM pads the last dim to 128)
+    idx_hbm,  # [BH, nQt, 8, 128] int32 (HBM; level li at sublanes [li*S,(li+1)*S))
+    q_ref,  # [1, R*q_block, d]
+    kv1_ref,  # ANY: [BH, n_kt*KV_BLOCK, 2d] lane-packed original K|V
+    pyr2_ref,  # [1, n_kt*64, 2d] VMEM-resident 2x-pooled records
+    pyr4_ref,  # [1, n_kt*32, 2d]
+    pyr8_ref,  # [1, n_kt*16, 2d]
+    o_ref,  # [1, R*q_block, d]
+    lse_ref,  # [1, 8, R*q_block]
+    idxbuf,  # SMEM (2, R, 8, 128)
+    kvbuf,  # VMEM (NBUF, GROUP, KV_BLOCK, 2d)
+    sem, idx_sem,
+    *, scale, kv_valid_len, kv_pad_len, n_kt, sub_s, q_block,
+):
+    r_rows = FUSED_ROWS
+    bh = pl.program_id(0)
+    step = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+    par = jax.lax.rem(step + bh * n_steps, 2)
+    nxt_par = jax.lax.rem(step + bh * n_steps + 1, 2)
+
+    def idx_copy(buf_par, b_i, s_i):
+        return pltpu.make_async_copy(
+            idx_hbm.at[b_i, pl.ds(s_i * r_rows, r_rows)],
+            idxbuf.at[buf_par], idx_sem.at[buf_par],
+        )
+
+    @pl.when(step + bh == 0)
+    def _first_list():
+        idx_copy(par, bh, step).start()
+    idx_copy(par, bh, step).wait()
+    nxt_s = jax.lax.rem(step + 1, n_steps)
+    nxt_bh = bh + jnp.where(step + 1 == n_steps, 1, 0)
+
+    @pl.when(nxt_bh < pl.num_programs(0))
+    def _next_list():
+        idx_copy(nxt_par, nxt_bh, nxt_s).start()
+
+    def list_entry(r_idx, li, j):
+        # Level li's list entry j (sublane-packed: sub_s sublanes of 128).
+        return idxbuf[par, r_idx, li * sub_s + j // 128, jax.lax.rem(j, 128)]
+
+    # ---- level-1 DMA pipeline, flattened over the step's rows ----
+    counts1 = [cnt_ref[bh, (step * r_rows + r) * 4] for r in range(r_rows)]
+    iters1 = [pl.cdiv(c, GROUP) for c in counts1]
+    base = [jnp.int32(0)]
+    for r in range(r_rows - 1):
+        base.append(base[-1] + iters1[r])
+    total = base[-1] + iters1[-1]
+
+    def row_of(g):
+        r_g = jnp.int32(0)
+        for r in range(1, r_rows):
+            r_g = jnp.where(g >= base[r], jnp.int32(r), r_g)
+        return r_g
+
+    def kv_copy(slot, g, u):
+        r_g = row_of(g)
+        local = g - base[0]
+        for r in range(1, r_rows):
+            local = jnp.where(r_g == r, g - base[r], local)
+        j = GROUP * local + u
+        blk = list_entry(r_g, 0, j)
+        return pltpu.make_async_copy(
+            kv1_ref.at[bh, pl.ds(blk * KV_BLOCK, KV_BLOCK), :],
+            kvbuf.at[slot, u], sem.at[slot, u],
+        )
+
+    def prefetch(g):
+        @pl.when(g < total)
+        def _():
+            slot = jax.lax.rem(g, NBUF)
+            for u in range(GROUP):
+                kv_copy(slot, g, u).start()
+
+    for g0 in range(NBUF):
+        prefetch(jnp.int32(g0))
+
+    d = q_ref.shape[-1]
+    width1 = GROUP * KV_BLOCK
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (q_block, width1), 1)
+    grp1 = col1 // KV_BLOCK
+    colp = jax.lax.broadcasted_iota(jnp.int32, (q_block, POOLED_TILE), 1)
+
+    pyr_refs = {2: pyr2_ref, 4: pyr4_ref, 8: pyr8_ref}
+
+    for r in range(r_rows):
+        q = q_ref[0, r * q_block:(r + 1) * q_block, :]
+        m0 = jnp.full((q_block, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((q_block, 1), jnp.float32)
+        acc0 = jnp.zeros((q_block, d), jnp.float32)
+
+        # Ascending lists put the (only possibly partial) boundary block
+        # last, so padded-tail masking reduces to ONE column limit applied
+        # on the final gather iteration — not a per-segment where-chain
+        # (32 [128,512] selects per iteration dominated the VPU budget).
+        count1 = counts1[r]
+        t_last1, lim1 = _tail_limit(
+            count1, list_entry(r, 0, jnp.maximum(count1 - 1, 0)),
+            KV_BLOCK, GROUP, n_kt - 1,
+            kv_valid_len - (n_kt - 1) * KV_BLOCK, width1)
+
+        def body1(t, carry, r=r, count=count1, t_last1=t_last1, lim1=lim1):
+            m, l, acc = carry
+            g = base[r] + t
+            slot = jax.lax.rem(g, NBUF)
+            for u in range(GROUP):
+                kv_copy(slot, g, u).wait()
+            kv = kvbuf[slot]  # [GROUP, KV_BLOCK, 2d] lane-packed
+            kb = kv[:, :, :d].reshape(width1, d)
+            vb = kv[:, :, d:].reshape(width1, d)
+            s = jax.lax.dot_general(
+                q, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale
+            ok = (GROUP * t + grp1) < count
+            if kv_valid_len < kv_pad_len:
+                limit = jnp.where(t == t_last1, lim1, jnp.int32(width1))
+                ok = ok & (col1 < limit)
+            s = jnp.where(ok, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc * alpha + pv
+            prefetch(g + NBUF)
+            return m_new, l, acc
+
+        m, l, acc = jax.lax.fori_loop(0, iters1[r], body1, (m0, l0, acc0))
+
+        # ---- pooled levels: register gathers from the resident pyramid ----
+        for li, level in enumerate((2, 4, 8), start=1):
+            seg_rows = KV_BLOCK // level
+            segs = POOLED_TILE // seg_rows
+            grpp = colp // seg_rows
+            countp = cnt_ref[bh, (step * r_rows + r) * 4 + li]
+            pyr_ref = pyr_refs[level]
+            pooled_valid = -(-kv_valid_len // level)
+            bias = float(math.log(level))
+            t_lastp, limp = _tail_limit(
+                countp, list_entry(r, li, jnp.maximum(countp - 1, 0)),
+                seg_rows, segs, n_kt - 1,
+                pooled_valid - (n_kt - 1) * seg_rows, POOLED_TILE)
+
+            def bodyp(t, carry, r=r, li=li, seg_rows=seg_rows, segs=segs,
+                      pyr_ref=pyr_ref, countp=countp, bias=bias,
+                      t_lastp=t_lastp, limp=limp, grpp=grpp):
+                m, l, acc = carry
+                parts = []
+                for u in range(segs):
+                    blk = list_entry(r, li, segs * t + u)
+                    parts.append(
+                        pyr_ref[0, pl.ds(blk * seg_rows, seg_rows), :])
+                kv = jnp.stack(parts)  # [segs, seg_rows, 2d]
+                kb = kv[:, :, :d].reshape(POOLED_TILE, d)
+                vb = kv[:, :, d:].reshape(POOLED_TILE, d)
+                s = jax.lax.dot_general(
+                    q, kb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s = s * scale + bias
+                ok = (segs * t + grpp) < countp
+                if kv_valid_len < kv_pad_len:
+                    limit = jnp.where(t == t_lastp, limp,
+                                      jnp.int32(POOLED_TILE))
+                    ok = ok & (colp < limit)
+                s = jnp.where(ok, s, NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new)
+                l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc * alpha + pv
+                return m_new, l, acc
+
+            m, l, acc = jax.lax.fori_loop(
+                0, pl.cdiv(countp, segs), bodyp, (m, l, acc))
+
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, r * q_block:(r + 1) * q_block, :] = (
+            acc / l_safe).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+        lse_ref[0, :, r * q_block:(r + 1) * q_block] = jnp.broadcast_to(
+            jnp.transpose(lse, (1, 0)), (8, q_block))
+
+
+def _fused_fwd_only(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
+                    scale, lk, interpret):
+    """Fused forward.  q: [BH, Lq_pad, d]; k/v: [BH, Lk_pad, d] (edge-padded
+    originals); kpL/vpL: level-L pooled; levels: [BH, nQt, nK] int32."""
+    bh, lq_pad, d = q.shape
+    lk_pad = k.shape[1]
+    n_kt = lk_pad // KV_BLOCK
+    q_block = 128
+    n_qt = lq_pad // q_block
+    r_rows = FUSED_ROWS
+    lq_out = lq_pad
+    if n_qt % r_rows:
+        pad_rows = r_rows - n_qt % r_rows
+        q = jnp.pad(q, ((0, 0), (0, pad_rows * q_block), (0, 0)))
+        levels = jnp.pad(levels, ((0, 0), (0, pad_rows), (0, 0)))
+        n_qt += pad_rows
+    lq_padded = n_qt * q_block
+
+    sub_s = -(-n_kt // 128)
+    assert 4 * sub_s <= 8, "fused path requires n_kt <= 256"
+    cap = sub_s * 128
+    idx_subs = []
+    cnts = []
+    for level in (1, 2, 4, 8):
+        idx_l, cnt_l = mask_to_block_lists(levels == level)
+        if cap != idx_l.shape[-1]:
+            idx_l = jnp.pad(
+                idx_l, ((0, 0), (0, 0), (0, cap - idx_l.shape[-1])),
+                mode="edge")
+        idx_subs.append(idx_l.reshape(bh, n_qt, sub_s, 128))
+        cnts.append(cnt_l)
+    idx_all = jnp.concatenate(idx_subs, axis=2)
+    if idx_all.shape[2] < 8:
+        idx_all = jnp.pad(
+            idx_all, ((0, 0), (0, 0), (0, 8 - idx_all.shape[2]), (0, 0)))
+    cnt_all = jnp.stack(cnts, axis=-1).astype(jnp.int32).reshape(bh, n_qt * 4)
+
+    from blade.kernels.pack import pack_kv
+
+    kv1, pyr2, pyr4, pyr8 = pack_kv(
+        k, v, lane_pack=True, pyramid=True, interpret=interpret)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, n_qt // r_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, r_rows * q_block, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, pyr2.shape[1], 2 * d), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, pyr4.shape[1], 2 * d), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, pyr8.shape[1], 2 * d), lambda b, i, *_: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r_rows * q_block, d), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, 8, r_rows * q_block), lambda b, i, *_: (b, 0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2, r_rows, 8, 128), jnp.int32),
+            pltpu.VMEM((NBUF, GROUP, KV_BLOCK, 2 * d), k.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, GROUP)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _fused_ml_kernel,
+        scale=scale,
+        kv_valid_len=lk,
+        kv_pad_len=lk_pad,
+        n_kt=n_kt,
+        sub_s=sub_s,
+        q_block=q_block,
+    )
+    out, lse8 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lq_padded, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 8, lq_padded), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lq_padded * n_kt * KV_BLOCK * d // 4,
+            bytes_accessed=q.size * q.dtype.itemsize
+            + kv1.size * k.dtype.itemsize // 4,
+            transcendentals=bh * lq_padded * n_kt * KV_BLOCK // 4,
+        ),
+    )(cnt_all, idx_all, q, kv1, pyr2, pyr4, pyr8)
+    return out[:, :lq_out], lse8[:, 0, :lq_out]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def _fused_ml_core(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
+                   scale, lk, interpret):
+    return _fused_fwd_only(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
+                           scale, lk, interpret)
+
+
+def _fused_ml_core_fwd(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
+                       scale, lk, interpret):
+    out, lse = _fused_fwd_only(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
+                               scale, lk, interpret)
+    return (out, lse), (q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
+                        out, lse)
+
+
+def _fused_ml_core_bwd(scale, lk, interpret, res, g):
+    """Direct multi-level backward: each level's grouped-gather dQ/dK/dV
+    pass runs against the GLOBAL merged (out, lse) — p_ij = exp(s_ij - lse_i)
+    already includes the cross-level softmax weights, so per-level passes
+    sum to the exact gradient (no merge-chain backprop needed)."""
+    q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels, out, lse = res
+    g_out, g_lse = g
+    d = q.shape[-1]
+    if d < 128:
+        pad_d = 128 - d
+        dpad = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, pad_d)))
+    else:
+        dpad = lambda t: t
+    qp = dpad(q)
+    outp = dpad(out)
+    g_outp = dpad(g_out)
+
+    dq = jnp.zeros_like(qp, dtype=jnp.float32)
+    grads = []
+    for level, kl, vl in ((1, k, v), (2, kp2, vp2), (4, kp4, vp4),
+                          (8, kp8, vp8)):
+        mask_l = levels == level
+        lists = _tile_lists(*mask_to_block_lists(mask_l))
+        t_lists = _tile_lists(
+            *mask_to_block_lists(jnp.swapaxes(mask_l, -1, -2)))
+        dql, dkl, dvl = gather_backward(
+            qp, dpad(kl), dpad(vl), outp, lse, g_outp, g_lse, lists, t_lists,
+            scale=scale, bias=float(math.log(level)) if level > 1 else 0.0,
+            kv_valid_len=-(-lk // level), q_block=128,
+            seg_rows=KV_BLOCK // level, interpret=interpret,
+        )
+        dq = dq + dql.astype(jnp.float32)
+        grads.extend([dkl[..., :d], dvl[..., :d]])
+    dlevels = np.zeros(levels.shape, dtype=jax.dtypes.float0)
+    return (dq[..., :d].astype(q.dtype), *grads, dlevels)
+
+
+_fused_ml_core.defvjp(_fused_ml_core_fwd, _fused_ml_core_bwd)
+
+
+def _multilevel_fused(q, k, v, levels, scale, interpret):
+    """Build pads + pooled pyramids and invoke the fused single-pass core.
+
+    Pooling stays OUTSIDE the custom-VJP boundary so XLA autodiff handles
+    the un-pooling (repeat / level) of pooled K/V gradients, exactly as in
+    the per-level composition.
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    lq_pad = -(-lq // 128) * 128
+    kp_full = pad_to_block_multiple(k, 128, axis=2)
+    vp_full = pad_to_block_multiple(v, 128, axis=2)
+    qp = (
+        jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0)))
+        if lq_pad != lq else q
+    )
+    bh = b * h
+    lk_pad = kp_full.shape[2]
+
+    def flat(t):
+        return t.reshape(bh, t.shape[2], d)
+
+    pooled = []
+    for level in (2, 4, 8):
+        pooled.append(flat(mean_pool_kv(kp_full, level)))
+        pooled.append(flat(mean_pool_kv(vp_full, level)))
+    levels_bh = levels.reshape(bh, levels.shape[-2], levels.shape[-1])
+    out, lse = _fused_ml_core(
+        flat(qp), flat(kp_full), flat(vp_full), *pooled, levels_bh,
+        scale, lk, interpret,
+    )
+    out = out.reshape(b, h, lq_pad, d)[:, :, :lq]
+    lse = lse.reshape(b, h, lq_pad)[:, :, :lq]
     return out.astype(q.dtype), lse

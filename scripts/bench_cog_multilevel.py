@@ -1,0 +1,62 @@
+"""Chip microbench: CogVideoX multilevel attention (fused vs composition vs dense).
+
+CogVideoX inference geometry: seq 17776 (17550 video + 226 text), 48 heads,
+head dim 64; eval-band levels {1:5%, 2:10%, 4:10%, 8:25%, skip:50%}.
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from blade.utils.compile_cache import enable as _enable_cache
+_enable_cache()
+
+from blade.attention import masks as M
+from blade.kernels.block_sparse_attn import flash_attention
+from blade.kernels.multilevel_attn import multilevel_attention
+from blade.kernels.ref_attention import multilevel_block_attention_reference
+from blade.utils.profiling import bench_fn
+
+
+def main(check=False, small=False):
+    b, h, l, d = (1, 4, 2048, 64) if small else (1, 48, 17776, 64)
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(jax.random.fold_in(rng, 1), (b, h, l, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(rng, 2), (b, h, l, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(rng, 3), (b, h, l, d), jnp.bfloat16)
+    nq = nk = -(-l // 128)
+    scores = jax.random.uniform(jax.random.fold_in(rng, 4), (b, h, nq, nk))
+    levels = M.multilevel_mask(scores / scores.sum(-1, keepdims=True))
+
+    f_fused = jax.jit(lambda q, k, v, lv: multilevel_attention(
+        q, k, v, lv, interpret=False, fused=True))
+    f_comp = jax.jit(lambda q, k, v, lv: multilevel_attention(
+        q, k, v, lv, interpret=False, fused=False))
+    f_dense = jax.jit(lambda q, k, v: flash_attention(q, k, v, interpret=False)[0])
+
+    if check:
+        of, lf = f_fused(q, k, v, levels)
+        oc, lc = f_comp(q, k, v, levels)
+        of, lf, oc, lc = map(lambda t: jnp.asarray(t, jnp.float32), (of, lf, oc, lc))
+        print("fused vs comp: out maxerr",
+              float(jnp.abs(of - oc).max()), "lse maxerr",
+              float(jnp.abs(lf - lc).max()))
+        if small:
+            ro, rl = multilevel_block_attention_reference(q, k, v, levels)
+            print("fused vs ref:  out maxerr",
+                  float(jnp.abs(of - jnp.asarray(ro, jnp.float32)).max()),
+                  "lse maxerr", float(jnp.abs(lf - rl).max()))
+        return
+
+    t_fused = bench_fn(lambda q, k, v, lv: f_fused(q, k, v, lv)[0],
+                       (q, k, v, levels), iters=8)
+    t_comp = bench_fn(lambda q, k, v, lv: f_comp(q, k, v, lv)[0],
+                      (q, k, v, levels), iters=8)
+    t_dense = bench_fn(f_dense, (q, k, v), iters=4)
+    print(f"dense      {t_dense*1e3:8.2f} ms")
+    print(f"composition{t_comp*1e3:8.2f} ms  ({t_dense/t_comp:.2f}x)")
+    print(f"fused      {t_fused*1e3:8.2f} ms  ({t_dense/t_fused:.2f}x)")
+
+
+if __name__ == "__main__":
+    main(check="--check" in sys.argv, small="--small" in sys.argv)

@@ -75,3 +75,51 @@ def test_multilevel_gradients_match_reference():
             np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
             err_msg=f"d{name}",
         )
+
+
+# ---- fused single-pass kernel (all four levels, one launch) ----
+
+
+def test_fused_matches_composition():
+    q, k, v = _qkv(jax.random.PRNGKey(7), l=512)
+    levels = _levels_from_scores(jax.random.PRNGKey(8), 1, 2, 4, 4)
+    out_f, lse_f = multilevel_attention(q, k, v, levels, interpret=True, fused=True)
+    out_c, lse_c = multilevel_attention(q, k, v, levels, interpret=True, fused=False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c), atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(lse_f), np.asarray(lse_c), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_ragged_lengths():
+    """Non-128-multiple sequence exercises tail masking in all levels.
+
+    Compared against the per-level composition (which pads + masks the same
+    way and is itself reference-tested at 128-multiples); the dense oracle
+    requires exact multiples.
+    """
+    q, k, v = _qkv(jax.random.PRNGKey(9), l=450)
+    levels = _levels_from_scores(jax.random.PRNGKey(10), 1, 2, 4, 4)
+    out, lse = multilevel_attention(q, k, v, levels, interpret=True, fused=True)
+    ref_out, ref_lse = multilevel_attention(q, k, v, levels, interpret=True, fused=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_gradients_match_reference():
+    q, k, v = _qkv(jax.random.PRNGKey(11), l=512, d=64)
+    levels = _levels_from_scores(jax.random.PRNGKey(12), 1, 2, 4, 4)
+
+    def loss_kernel(q, k, v):
+        out, lse = multilevel_attention(q, k, v, levels, interpret=True, fused=True)
+        return jnp.sum(jnp.sin(out)) + 0.05 * jnp.sum(lse)
+
+    def loss_ref(q, k, v):
+        out, lse = multilevel_block_attention_reference(q, k, v, levels)
+        return jnp.sum(jnp.sin(out)) + 0.05 * jnp.sum(lse)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
+            err_msg=f"d{name}",
+        )
