@@ -123,6 +123,28 @@ def main():
         pass
 
     try:
+        # CogVideoX eval path: fused single-pass multilevel kernel, full
+        # predictor-inclusive path at cog geometry (seq 17776, 48 heads,
+        # d=64; eval bands 5/10/10/25%).
+        from blade.attention.asa import COGVIDEOX_ASA
+
+        bc, hc, lc, dc = 1, 48, 17776, 64
+        qc, kc, vc = peaked_qkv(jax.random.fold_in(rng, 20), bc, hc, lc, dc)
+        cfg_c = dataclasses.replace(
+            COGVIDEOX_ASA, pre_arranged=True, mask_mode="multilevel",
+            predictor="sum", sample_tokens_per_block=16)
+        f_cog = jax.jit(
+            lambda r, q, k, v: adaptive_sparse_attention(r, q, k, v, cfg_c)[0]
+        )
+        t_cog = bench_fn(f_cog, (rng, qc, kc, vc), iters=8)
+        t_cog_dense = bench_fn(f_dense, (qc, kc, vc), iters=4)
+        extra["cog_multilevel_full_ms"] = round(t_cog * 1e3, 2)
+        extra["cog_dense_ms"] = round(t_cog_dense * 1e3, 2)
+        extra["cog_multilevel_full_speedup"] = round(t_cog_dense / t_cog, 3)
+    except Exception:
+        pass
+
+    try:
         def loss_sparse(q, k, v):
             o, _ = block_sparse_attention(q, k, v, mask, interpret=False)
             return jnp.sum(o.astype(jnp.float32) ** 2)

@@ -175,17 +175,32 @@ def adaptive_sparse_attention(
     Returns ``(out, sparsity)`` where sparsity mirrors the reference metric
     ``1 - mask.mean() - 1/sample_gap``.
     """
-    if mask is None:
-        mask = compute_mask(rng, q, k, cfg)
-
     if cfg.mask_mode == "multilevel":
-        levels = mask
-        out, _ = multilevel_attention(q, k, v, levels, interpret=interpret)
+        from blade.kernels.multilevel_attn import KV_BLOCK, fused_supported
+
+        if mask is None and fused_supported(
+                q.shape[-1], k.shape[2], jnp.dtype(q.dtype).itemsize):
+            # Fused fast lane: per-level lists straight from the score
+            # ranking (one argsort + short band sorts) — skips the level
+            # mask and its four re-sorting round-trips entirely.
+            scores = predict_block_scores(rng, q, k, cfg)
+            n_kt = -(-k.shape[2] // KV_BLOCK)
+            cap = -(-n_kt // 128) * 128
+            lists = M.multilevel_lists(scores, cfg.mask_ratios, cap=cap)
+            out, _ = multilevel_attention(
+                q, k, v, None, lists=lists, interpret=interpret)
+        else:
+            levels = compute_mask(rng, q, k, cfg) if mask is None else mask
+            out, _ = multilevel_attention(
+                q, k, v, levels, interpret=interpret)
         ratios = cfg.mask_ratios or M.DEFAULT_MASK_RATIOS
         density = sum(
             (hi - lo) / lv for lv, (lo, hi) in ratios.items() if lv != 0
         )
         return out, jnp.asarray(1.0 - density, jnp.float32)
+
+    if mask is None:
+        mask = compute_mask(rng, q, k, cfg)
 
     out1, lse1 = block_sparse_attention(q, k, v, mask, interpret=interpret)
 

@@ -292,6 +292,72 @@ def multilevel_mask(
     return levels
 
 
+def multilevel_lists(
+    scores: jnp.ndarray,
+    mask_ratios: Dict[int, Tuple[float, float]] | None = None,
+    cap: int | None = None,
+    force_last2: bool = True,
+):
+    """Per-level ascending block lists straight from ONE score ranking.
+
+    Fast lane for the fused multilevel kernel: equivalent to
+    ``multilevel_mask`` + four ``mask_to_block_lists`` calls, but the rank
+    bands are STATIC slices of the descending order, so each level's
+    ascending list is a short ``jnp.sort`` of its band slice and every
+    count is a compile-time constant (forced rows aside).  One argsort of
+    ``n_k`` + four sorts of band width replaces five ``n_k``-wide
+    argsorts + scatters (~8 ms cheaper at CogVideoX geometry).
+
+    Forcing semantics: with ``force_last2`` the last two key blocks are
+    promoted to level 1 by boosting their scores above the rest *before*
+    ranking — identical to ``multilevel_mask`` on the boosted scores
+    whenever the level-1 band covers at least two ranks; other columns'
+    bands shift by at most two ranks vs. the post-hoc overwrite (reference
+    ``cogvideo_newattn.py:154-207``).  The last two query rows attend at
+    level 1 to every block, exactly as in ``multilevel_mask``.
+
+    Returns ``(idx, counts)``: ``idx`` int32 ``[..., n_q, 4, cap]``
+    (levels 1, 2, 4, 8, each ascending, tail padded with its last valid
+    entry); ``counts`` int32 ``[..., n_q, 4]``.
+    """
+    if mask_ratios is None:
+        mask_ratios = DEFAULT_MASK_RATIOS
+    n_q, n_k = scores.shape[-2], scores.shape[-1]
+    if cap is None:
+        cap = n_k
+    if force_last2:
+        top = jnp.max(scores, axis=-1, keepdims=True)
+        scores = scores.at[..., -2:].set(top + 1.0)
+    order = jnp.argsort(-scores, axis=-1, stable=True).astype(jnp.int32)
+    row = jnp.arange(n_q, dtype=jnp.int32)
+    forced_row = (row >= n_q - 2) if force_last2 else jnp.zeros((n_q,), bool)
+    full_row = jnp.minimum(jnp.arange(cap, dtype=jnp.int32), n_k - 1)
+    idx_levels, cnt_levels = [], []
+    for level in (1, 2, 4, 8):
+        lo, hi = mask_ratios.get(level, (0.0, 0.0))
+        lo_i, hi_i = max(0, int(n_k * lo)), min(n_k, int(n_k * hi))
+        width = min(max(hi_i - lo_i, 0), cap)
+        if width:
+            asc = jnp.sort(order[..., lo_i:lo_i + width], axis=-1)
+            if cap > width:
+                asc = jnp.concatenate(
+                    [asc,
+                     jnp.broadcast_to(asc[..., -1:],
+                                      (*asc.shape[:-1], cap - width))],
+                    axis=-1)
+        else:
+            asc = jnp.zeros((*scores.shape[:-1], cap), jnp.int32)
+        cnt = jnp.full(scores.shape[:-1], width, jnp.int32)
+        if level == 1:
+            asc = jnp.where(forced_row[:, None], full_row, asc)
+            cnt = jnp.where(forced_row, min(n_k, cap), cnt)
+        else:
+            cnt = jnp.where(forced_row, 0, cnt)
+        idx_levels.append(asc)
+        cnt_levels.append(cnt)
+    return jnp.stack(idx_levels, axis=-2), jnp.stack(cnt_levels, axis=-1)
+
+
 def mask_to_block_lists(mask: jnp.ndarray, max_blocks: int | None = None):
     """Convert a boolean block mask into padded index lists for the kernel.
 

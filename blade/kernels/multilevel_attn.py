@@ -320,6 +320,13 @@ def _pooled_level_fwd_only(q, k_pool, v_pool, block_mask, level, scale,
     return out[:, :lq_orig], lse8[:, 0, :lq_orig]
 
 
+def fused_supported(d: int, lk: int, itemsize: int = 2) -> bool:
+    """Whether the fused single-pass kernel covers this geometry."""
+    n_kt = -(-lk // KV_BLOCK)
+    pyr_bytes = n_kt * (64 + 32 + 16) * 2 * d * itemsize
+    return d == 64 and n_kt <= 256 and pyr_bytes <= FUSED_PYR_BUDGET
+
+
 def multilevel_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -329,6 +336,7 @@ def multilevel_attention(
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
     fused: Optional[bool] = None,
+    lists=None,
 ):
     """Multi-level pooled sparse attention over ``[B, H, L, D]``.
 
@@ -341,6 +349,12 @@ def multilevel_attention(
     geometry supports it: ``d == 64`` (lane-packed K|V records) with the
     pooled pyramid within the VMEM budget.  ``fused=False`` forces the
     per-level pass + exact LSE merge composition.
+
+    ``lists``: optional precomputed per-level ascending block lists
+    ``(idx [B,H,nQ,4,cap], counts [B,H,nQ,4])`` from
+    ``blade.attention.masks.multilevel_lists`` — skips building and
+    re-sorting the level mask; ``levels`` may then be ``None``.  Fused
+    path only.
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -349,12 +363,13 @@ def multilevel_attention(
     if interpret is None:
         interpret = _interpret_default()
 
-    n_kt = -(-lk // KV_BLOCK)
-    pyr_bytes = n_kt * (64 + 32 + 16) * 2 * d * q.dtype.itemsize
     if fused is None:
-        fused = d == 64 and n_kt <= 256 and pyr_bytes <= FUSED_PYR_BUDGET
+        fused = fused_supported(d, lk, q.dtype.itemsize)
+    if lists is not None and not fused:
+        raise ValueError("precomputed lists require the fused path")
     if fused:
-        return _multilevel_fused(q, k, v, levels, scale, interpret)
+        return _multilevel_fused(q, k, v, levels, scale, interpret,
+                                 lists=lists)
 
     # Level-1 pass: exact per-block attention via the binary sparse kernel
     # at the ORIGINAL head dim (it lane-packs d=64 internally; pre-padding
@@ -425,9 +440,12 @@ def multilevel_attention(
 # traffic.  Exactness: each key block still contributes exp(s - lse) with
 # its level's +log(L) bias, identical to the per-pass + merge formulation.
 
-FUSED_ROWS = 4  # mask rows per grid step (shared level-1 DMA pipeline)
+FUSED_ROWS = 8  # mask rows per grid step (shared level-1 DMA pipeline)
 FUSED_PYR_BUDGET = 5 * 1024 * 1024  # lane-packed pooled pyramid VMEM cap
-POOLED_TILE = 512  # MXU tile width of the pooled-level inner loops
+# Per-level MXU tile width of the pooled inner loops, sized so the default
+# eval bands (10%/10%/25% of <=160 key blocks) complete in ONE iteration —
+# the ~1 us/iteration loop overhead dominates the wasted tail columns.
+POOLED_TILE = {2: 1024, 4: 512, 8: 1024}
 
 
 def _tail_limit(count, last_entry, seg_rows, segs, boundary_block,
@@ -453,14 +471,17 @@ def _fused_ml_kernel(
     idx_hbm,  # [BH, nQt, 8, 128] int32 (HBM; level li at sublanes [li*S,(li+1)*S))
     q_ref,  # [1, R*q_block, d]
     kv1_ref,  # ANY: [BH, n_kt*KV_BLOCK, 2d] lane-packed original K|V
-    pyr2_ref,  # [1, n_kt*64, 2d] VMEM-resident 2x-pooled records
-    pyr4_ref,  # [1, n_kt*32, 2d]
-    pyr8_ref,  # [1, n_kt*16, 2d]
+    pyr2_ref,  # ANY: [BH, n_kt*64, 2d] 2x-pooled records (HBM)
+    pyr4_ref,  # ANY: [BH, n_kt*32, 2d]
+    pyr8_ref,  # ANY: [BH, n_kt*16, 2d]
     o_ref,  # [1, R*q_block, d]
     lse_ref,  # [1, 8, R*q_block]
     idxbuf,  # SMEM (2, R, 8, 128)
     kvbuf,  # VMEM (NBUF, GROUP, KV_BLOCK, 2d)
-    sem, idx_sem,
+    pyr2_buf,  # VMEM (n_kt*64, 2d) — copied once per (batch, head); the
+    pyr4_buf,  # (1, r, c)-blocked in_spec alternative re-fetches the whole
+    pyr8_buf,  # pyramid EVERY grid step (~4 MB x 35 steps/bh at cog).
+    sem, idx_sem, pyr_sem,
     *, scale, kv_valid_len, kv_pad_len, n_kt, sub_s, q_block,
 ):
     r_rows = FUSED_ROWS
@@ -469,6 +490,18 @@ def _fused_ml_kernel(
     n_steps = pl.num_programs(1)
     par = jax.lax.rem(step + bh * n_steps, 2)
     nxt_par = jax.lax.rem(step + bh * n_steps + 1, 2)
+
+    pyr_copies = [
+        pltpu.make_async_copy(src.at[bh], dst, pyr_sem.at[i])
+        for i, (src, dst) in enumerate(
+            ((pyr2_ref, pyr2_buf), (pyr4_ref, pyr4_buf),
+             (pyr8_ref, pyr8_buf)))
+    ]
+
+    @pl.when(step == 0)
+    def _pyramid_in():
+        for c in pyr_copies:
+            c.start()
 
     def idx_copy(buf_par, b_i, s_i):
         return pltpu.make_async_copy(
@@ -531,9 +564,13 @@ def _fused_ml_kernel(
     width1 = GROUP * KV_BLOCK
     col1 = jax.lax.broadcasted_iota(jnp.int32, (q_block, width1), 1)
     grp1 = col1 // KV_BLOCK
-    colp = jax.lax.broadcasted_iota(jnp.int32, (q_block, POOLED_TILE), 1)
 
-    pyr_refs = {2: pyr2_ref, 4: pyr4_ref, 8: pyr8_ref}
+    @pl.when(step == 0)
+    def _pyramid_wait():
+        for c in pyr_copies:
+            c.wait()
+
+    pyr_refs = {2: pyr2_buf, 4: pyr4_buf, 8: pyr8_buf}
 
     for r in range(r_rows):
         q = q_ref[0, r * q_block:(r + 1) * q_block, :]
@@ -587,7 +624,9 @@ def _fused_ml_kernel(
         # ---- pooled levels: register gathers from the resident pyramid ----
         for li, level in enumerate((2, 4, 8), start=1):
             seg_rows = KV_BLOCK // level
-            segs = POOLED_TILE // seg_rows
+            tile = POOLED_TILE[level]
+            segs = tile // seg_rows
+            colp = jax.lax.broadcasted_iota(jnp.int32, (q_block, tile), 1)
             grpp = colp // seg_rows
             countp = cnt_ref[bh, (step * r_rows + r) * 4 + li]
             pyr_ref = pyr_refs[level]
@@ -596,20 +635,20 @@ def _fused_ml_kernel(
             t_lastp, limp = _tail_limit(
                 countp, list_entry(r, li, jnp.maximum(countp - 1, 0)),
                 seg_rows, segs, n_kt - 1,
-                pooled_valid - (n_kt - 1) * seg_rows, POOLED_TILE)
+                pooled_valid - (n_kt - 1) * seg_rows, tile)
 
             def bodyp(t, carry, r=r, li=li, seg_rows=seg_rows, segs=segs,
+                      tile=tile, colp=colp,
                       pyr_ref=pyr_ref, countp=countp, bias=bias,
                       t_lastp=t_lastp, limp=limp, grpp=grpp):
                 m, l, acc = carry
                 parts = []
                 for u in range(segs):
                     blk = list_entry(r, li, segs * t + u)
-                    parts.append(
-                        pyr_ref[0, pl.ds(blk * seg_rows, seg_rows), :])
+                    parts.append(pyr_ref[pl.ds(blk * seg_rows, seg_rows), :])
                 kv = jnp.stack(parts)  # [segs, seg_rows, 2d]
-                kb = kv[:, :, :d].reshape(POOLED_TILE, d)
-                vb = kv[:, :, d:].reshape(POOLED_TILE, d)
+                kb = kv[:, :, :d].reshape(tile, d)
+                vb = kv[:, :, d:].reshape(tile, d)
                 s = jax.lax.dot_general(
                     q, kb, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -617,8 +656,7 @@ def _fused_ml_kernel(
                 s = s * scale + bias
                 ok = (segs * t + grpp) < countp
                 if kv_valid_len < kv_pad_len:
-                    limit = jnp.where(t == t_lastp, limp,
-                                      jnp.int32(POOLED_TILE))
+                    limit = jnp.where(t == t_lastp, limp, jnp.int32(tile))
                     ok = ok & (colp < limit)
                 s = jnp.where(ok, s, NEG_INF)
                 m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -643,42 +681,84 @@ def _fused_ml_kernel(
             jnp.transpose(lse, (1, 0)), (8, q_block))
 
 
-def _fused_fwd_only(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
-                    scale, lk, interpret):
-    """Fused forward.  q: [BH, Lq_pad, d]; k/v: [BH, Lk_pad, d] (edge-padded
-    originals); kpL/vpL: level-L pooled; levels: [BH, nQt, nK] int32."""
-    bh, lq_pad, d = q.shape
-    lk_pad = k.shape[1]
-    n_kt = lk_pad // KV_BLOCK
-    q_block = 128
-    n_qt = lq_pad // q_block
-    r_rows = FUSED_ROWS
-    lq_out = lq_pad
-    if n_qt % r_rows:
-        pad_rows = r_rows - n_qt % r_rows
-        q = jnp.pad(q, ((0, 0), (0, pad_rows * q_block), (0, 0)))
-        levels = jnp.pad(levels, ((0, 0), (0, pad_rows), (0, 0)))
-        n_qt += pad_rows
-    lq_padded = n_qt * q_block
+def _pack_lists(idx, cnt, sub_s):
+    """Pack per-level lists into the kernel's prefetch layout.
 
-    sub_s = -(-n_kt // 128)
-    assert 4 * sub_s <= 8, "fused path requires n_kt <= 256"
+    ``idx``: int32 ``[BH, nQ, 4, sub_s*128]`` (levels 1,2,4,8, ascending);
+    ``cnt``: int32 ``[BH, nQ, 4]``.  Pads the row axis to a FUSED_ROWS
+    multiple (zero counts) and the sublane axis to 8.  Returns
+    ``(idx_all [BH, nQt, 8, 128], cnt_all [BH, nQt*4])``.
+    """
+    bh, n_qt = idx.shape[0], idx.shape[1]
+    if n_qt % FUSED_ROWS:
+        pad_rows = FUSED_ROWS - n_qt % FUSED_ROWS
+        idx = jnp.pad(idx, ((0, 0), (0, pad_rows), (0, 0), (0, 0)))
+        cnt = jnp.pad(cnt, ((0, 0), (0, pad_rows), (0, 0)))
+        n_qt += pad_rows
+    idx_all = idx.reshape(bh, n_qt, 4 * sub_s, 128)
+    if idx_all.shape[2] < 8:
+        idx_all = jnp.pad(
+            idx_all, ((0, 0), (0, 0), (0, 8 - idx_all.shape[2]), (0, 0)))
+    cnt_all = cnt.astype(jnp.int32).reshape(bh, n_qt * 4)
+    return idx_all, cnt_all
+
+
+def _lists_from_levels(levels, sub_s):
+    """Kernel-layout lists from an int level mask (slow generic path)."""
+    bh, n_qt = levels.shape[0], levels.shape[1]
     cap = sub_s * 128
-    idx_subs = []
-    cnts = []
+    idx_subs, cnts = [], []
     for level in (1, 2, 4, 8):
         idx_l, cnt_l = mask_to_block_lists(levels == level)
         if cap != idx_l.shape[-1]:
             idx_l = jnp.pad(
                 idx_l, ((0, 0), (0, 0), (0, cap - idx_l.shape[-1])),
                 mode="edge")
-        idx_subs.append(idx_l.reshape(bh, n_qt, sub_s, 128))
+        idx_subs.append(idx_l)
         cnts.append(cnt_l)
-    idx_all = jnp.concatenate(idx_subs, axis=2)
-    if idx_all.shape[2] < 8:
-        idx_all = jnp.pad(
-            idx_all, ((0, 0), (0, 0), (0, 8 - idx_all.shape[2]), (0, 0)))
-    cnt_all = jnp.stack(cnts, axis=-1).astype(jnp.int32).reshape(bh, n_qt * 4)
+    return _pack_lists(
+        jnp.stack(idx_subs, axis=2), jnp.stack(cnts, axis=-1), sub_s)
+
+
+def _masks_from_lists(idx_all, cnt_all, n_qt, n_kt, sub_s):
+    """Reconstruct the four per-level boolean masks (backward pass only).
+
+    Exact inverse of the list packing: scatter-max of validity flags onto
+    block columns (duplicate-safe — tail padding repeats valid entries)."""
+    bh = idx_all.shape[0]
+    n_qt_pad = idx_all.shape[1]
+    cnt = cnt_all.reshape(bh, n_qt_pad, 4)
+    bi = jnp.arange(bh)[:, None, None]
+    ri = jnp.arange(n_qt_pad)[None, :, None]
+    pos = jnp.arange(sub_s * 128)
+    masks = []
+    for li in range(4):
+        idx_l = idx_all[:, :, li * sub_s:(li + 1) * sub_s, :].reshape(
+            bh, n_qt_pad, sub_s * 128)
+        valid = pos < cnt[..., li:li + 1]
+        m = jnp.zeros((bh, n_qt_pad, n_kt), bool)
+        m = m.at[bi, ri, idx_l].max(valid)
+        masks.append(m[:, :n_qt])
+    return masks
+
+
+def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret):
+    """Fused forward.  q: [BH, Lq_pad, d]; k/v: [BH, Lk_pad, d] (edge-padded
+    originals); idx_all/cnt_all: packed per-level lists (see _pack_lists)."""
+    bh, lq_pad, d = q.shape
+    lk_pad = k.shape[1]
+    n_kt = lk_pad // KV_BLOCK
+    q_block = 128
+    r_rows = FUSED_ROWS
+    lq_out = lq_pad
+    n_qt = idx_all.shape[1]
+    assert n_qt % r_rows == 0 and n_qt * q_block >= lq_pad
+    if n_qt * q_block != lq_pad:
+        q = jnp.pad(q, ((0, 0), (0, n_qt * q_block - lq_pad), (0, 0)))
+    lq_padded = n_qt * q_block
+
+    sub_s = -(-n_kt // 128)
+    assert 4 * sub_s <= 8, "fused path requires n_kt <= 256"
 
     from blade.kernels.pack import pack_kv
 
@@ -692,9 +772,9 @@ def _fused_fwd_only(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, r_rows * q_block, d), lambda b, i, *_: (b, i, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, pyr2.shape[1], 2 * d), lambda b, i, *_: (b, 0, 0)),
-            pl.BlockSpec((1, pyr4.shape[1], 2 * d), lambda b, i, *_: (b, 0, 0)),
-            pl.BlockSpec((1, pyr8.shape[1], 2 * d), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, r_rows * q_block, d), lambda b, i, *_: (b, i, 0)),
@@ -703,8 +783,12 @@ def _fused_fwd_only(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
         scratch_shapes=[
             pltpu.SMEM((2, r_rows, 8, 128), jnp.int32),
             pltpu.VMEM((NBUF, GROUP, KV_BLOCK, 2 * d), k.dtype),
+            pltpu.VMEM((pyr2.shape[1], 2 * d), k.dtype),
+            pltpu.VMEM((pyr4.shape[1], 2 * d), k.dtype),
+            pltpu.VMEM((pyr8.shape[1], 2 * d), k.dtype),
             pltpu.SemaphoreType.DMA((NBUF, GROUP)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     kernel = functools.partial(
@@ -734,19 +818,18 @@ def _fused_fwd_only(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
     return out[:, :lq_out], lse8[:, 0, :lq_out]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
-def _fused_ml_core(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def _fused_ml_core(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all, cnt_all,
                    scale, lk, interpret):
-    return _fused_fwd_only(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
-                           scale, lk, interpret)
+    return _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret)
 
 
-def _fused_ml_core_fwd(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
-                       scale, lk, interpret):
-    out, lse = _fused_fwd_only(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
-                               scale, lk, interpret)
-    return (out, lse), (q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels,
-                        out, lse)
+def _fused_ml_core_fwd(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all,
+                       cnt_all, scale, lk, interpret):
+    out, lse = _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk,
+                               interpret)
+    return (out, lse), (q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all,
+                        cnt_all, out, lse)
 
 
 def _fused_ml_core_bwd(scale, lk, interpret, res, g):
@@ -754,7 +837,7 @@ def _fused_ml_core_bwd(scale, lk, interpret, res, g):
     pass runs against the GLOBAL merged (out, lse) — p_ij = exp(s_ij - lse_i)
     already includes the cross-level softmax weights, so per-level passes
     sum to the exact gradient (no merge-chain backprop needed)."""
-    q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, levels, out, lse = res
+    q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all, cnt_all, out, lse = res
     g_out, g_lse = g
     d = q.shape[-1]
     if d < 128:
@@ -766,11 +849,16 @@ def _fused_ml_core_bwd(scale, lk, interpret, res, g):
     outp = dpad(out)
     g_outp = dpad(g_out)
 
+    n_kt = k.shape[1] // KV_BLOCK
+    sub_s = -(-n_kt // 128)
+    level_masks = _masks_from_lists(
+        idx_all, cnt_all, q.shape[1] // 128, n_kt, sub_s)
+
     dq = jnp.zeros_like(qp, dtype=jnp.float32)
     grads = []
-    for level, kl, vl in ((1, k, v), (2, kp2, vp2), (4, kp4, vp4),
-                          (8, kp8, vp8)):
-        mask_l = levels == level
+    for (level, kl, vl), mask_l in zip(
+            ((1, k, v), (2, kp2, vp2), (4, kp4, vp4), (8, kp8, vp8)),
+            level_masks):
         lists = _tile_lists(*mask_to_block_lists(mask_l))
         t_lists = _tile_lists(
             *mask_to_block_lists(jnp.swapaxes(mask_l, -1, -2)))
@@ -782,19 +870,23 @@ def _fused_ml_core_bwd(scale, lk, interpret, res, g):
         )
         dq = dq + dql.astype(jnp.float32)
         grads.extend([dkl[..., :d], dvl[..., :d]])
-    dlevels = np.zeros(levels.shape, dtype=jax.dtypes.float0)
-    return (dq[..., :d].astype(q.dtype), *grads, dlevels)
+    didx = np.zeros(idx_all.shape, dtype=jax.dtypes.float0)
+    dcnt = np.zeros(cnt_all.shape, dtype=jax.dtypes.float0)
+    return (dq[..., :d].astype(q.dtype), *grads, didx, dcnt)
 
 
 _fused_ml_core.defvjp(_fused_ml_core_fwd, _fused_ml_core_bwd)
 
 
-def _multilevel_fused(q, k, v, levels, scale, interpret):
+def _multilevel_fused(q, k, v, levels, scale, interpret, lists=None):
     """Build pads + pooled pyramids and invoke the fused single-pass core.
 
     Pooling stays OUTSIDE the custom-VJP boundary so XLA autodiff handles
     the un-pooling (repeat / level) of pooled K/V gradients, exactly as in
-    the per-level composition.
+    the per-level composition.  ``lists``: optional precomputed
+    ``(idx [B,H,nQ,4,sub_s*128], counts [B,H,nQ,4])`` per-level ascending
+    lists (``blade.attention.masks.multilevel_lists``) — skips the
+    level-mask round-trip entirely.
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -807,6 +899,7 @@ def _multilevel_fused(q, k, v, levels, scale, interpret):
     )
     bh = b * h
     lk_pad = kp_full.shape[2]
+    sub_s = -(-(lk_pad // KV_BLOCK) // 128)
 
     def flat(t):
         return t.reshape(bh, t.shape[2], d)
@@ -815,9 +908,18 @@ def _multilevel_fused(q, k, v, levels, scale, interpret):
     for level in (2, 4, 8):
         pooled.append(flat(mean_pool_kv(kp_full, level)))
         pooled.append(flat(mean_pool_kv(vp_full, level)))
-    levels_bh = levels.reshape(bh, levels.shape[-2], levels.shape[-1])
+    if lists is not None:
+        idx, cnt = lists
+        assert idx.shape[-1] == sub_s * 128, (
+            f"list cap {idx.shape[-1]} != kernel cap {sub_s * 128}")
+        idx_all, cnt_all = _pack_lists(
+            idx.reshape(bh, *idx.shape[-3:]), cnt.reshape(bh, *cnt.shape[-2:]),
+            sub_s)
+    else:
+        levels_bh = levels.reshape(bh, levels.shape[-2], levels.shape[-1])
+        idx_all, cnt_all = _lists_from_levels(levels_bh, sub_s)
     out, lse = _fused_ml_core(
-        flat(qp), flat(kp_full), flat(vp_full), *pooled, levels_bh,
+        flat(qp), flat(kp_full), flat(vp_full), *pooled, idx_all, cnt_all,
         scale, lk, interpret,
     )
     out = out.reshape(b, h, lq_pad, d)[:, :, :lq]

@@ -19,7 +19,9 @@ from blade.utils.profiling import bench_fn
 
 
 def main(check=False, small=False):
-    b, h, l, d = (1, 4, 2048, 64) if small else (1, 48, 17776, 64)
+    # small: nk=64 keeps the level-1 band >= 2 ranks wide so the lists
+    # fast lane's boosted forcing matches multilevel_mask(boosted) exactly.
+    b, h, l, d = (1, 4, 8192, 64) if small else (1, 48, 17776, 64)
     rng = jax.random.PRNGKey(0)
     q = jax.random.normal(jax.random.fold_in(rng, 1), (b, h, l, d), jnp.bfloat16)
     k = jax.random.normal(jax.random.fold_in(rng, 2), (b, h, l, d), jnp.bfloat16)
@@ -30,6 +32,14 @@ def main(check=False, small=False):
 
     f_fused = jax.jit(lambda q, k, v, lv: multilevel_attention(
         q, k, v, lv, interpret=False, fused=True))
+    cap = -(-nk // 128) * 128
+
+    def fused_lists(q, k, v, sc):
+        lists = M.multilevel_lists(sc, cap=cap)
+        return multilevel_attention(q, k, v, None, lists=lists,
+                                    interpret=False, fused=True)
+
+    f_lists = jax.jit(fused_lists)
     f_comp = jax.jit(lambda q, k, v, lv: multilevel_attention(
         q, k, v, lv, interpret=False, fused=False))
     f_dense = jax.jit(lambda q, k, v: flash_attention(q, k, v, interpret=False)[0])
@@ -41,6 +51,16 @@ def main(check=False, small=False):
         print("fused vs comp: out maxerr",
               float(jnp.abs(of - oc).max()), "lse maxerr",
               float(jnp.abs(lf - lc).max()))
+        # lists fast lane vs the SAME levels built from boosted scores
+        boosted = scores.at[..., -2:].set(
+            scores.max(-1, keepdims=True) + 1.0)
+        lv_b = M.multilevel_mask(boosted)
+        ol, ll = f_lists(q, k, v, scores)
+        ob, lb = f_fused(q, k, v, lv_b)
+        ol, ll, ob, lb = map(lambda t: jnp.asarray(t, jnp.float32), (ol, ll, ob, lb))
+        print("lists vs boosted-levels: out maxerr",
+              float(jnp.abs(ol - ob).max()), "lse maxerr",
+              float(jnp.abs(ll - lb).max()))
         if small:
             ro, rl = multilevel_block_attention_reference(q, k, v, levels)
             print("fused vs ref:  out maxerr",
@@ -50,12 +70,15 @@ def main(check=False, small=False):
 
     t_fused = bench_fn(lambda q, k, v, lv: f_fused(q, k, v, lv)[0],
                        (q, k, v, levels), iters=8)
+    t_lists = bench_fn(lambda q, k, v, sc: f_lists(q, k, v, sc)[0],
+                       (q, k, v, scores), iters=8)
     t_comp = bench_fn(lambda q, k, v, lv: f_comp(q, k, v, lv)[0],
                       (q, k, v, levels), iters=8)
     t_dense = bench_fn(f_dense, (q, k, v), iters=4)
-    print(f"dense      {t_dense*1e3:8.2f} ms")
-    print(f"composition{t_comp*1e3:8.2f} ms  ({t_dense/t_comp:.2f}x)")
-    print(f"fused      {t_fused*1e3:8.2f} ms  ({t_dense/t_fused:.2f}x)")
+    print(f"dense        {t_dense*1e3:8.2f} ms")
+    print(f"composition  {t_comp*1e3:8.2f} ms  ({t_dense/t_comp:.2f}x)")
+    print(f"fused+levels {t_fused*1e3:8.2f} ms  ({t_dense/t_fused:.2f}x)")
+    print(f"fused+lists  {t_lists*1e3:8.2f} ms  ({t_dense/t_lists:.2f}x)")
 
 
 if __name__ == "__main__":

@@ -123,3 +123,70 @@ def test_fused_gradients_match_reference():
             np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
             err_msg=f"d{name}",
         )
+
+
+# ---- lists fast lane (per-level lists straight from the score ranking) ----
+
+
+def test_multilevel_lists_match_mask_roundtrip():
+    """multilevel_lists == multilevel_mask(boosted) + mask_to_block_lists.
+
+    Exact contract at realistic widths (level-1 band covers >= 2 ranks so
+    the score boost lands the forced columns in level 1).
+    """
+    nq, nk = 48, 64
+    scores = jax.random.uniform(jax.random.PRNGKey(20), (2, 3, nq, nk))
+    idx, cnt = M.multilevel_lists(scores, cap=nk)
+
+    boosted = scores.at[..., -2:].set(
+        jnp.max(scores, axis=-1, keepdims=True) + 1.0)
+    levels = M.multilevel_mask(boosted, force_last2=True)
+    for li, level in enumerate((1, 2, 4, 8)):
+        ref_idx, ref_cnt = M.mask_to_block_lists(levels == level)
+        np.testing.assert_array_equal(np.asarray(cnt[..., li]),
+                                      np.asarray(ref_cnt))
+        c = np.asarray(ref_cnt)
+        a, b = np.asarray(idx[..., li, :]), np.asarray(ref_idx)
+        for pos in np.ndindex(*c.shape):
+            n = c[pos]
+            np.testing.assert_array_equal(a[pos][:n], b[pos][:n],
+                                          err_msg=f"level {level} row {pos}")
+
+
+def test_fused_lists_match_levels_path():
+    q, k, v = _qkv(jax.random.PRNGKey(21), l=512)
+    scores = jax.random.uniform(jax.random.PRNGKey(22), (1, 2, 4, 4))
+    levels = M.multilevel_mask(scores, force_last2=False)
+    idx, cnt = M.multilevel_lists(scores, cap=128, force_last2=False)
+    out_l, lse_l = multilevel_attention(
+        q, k, v, None, lists=(idx, cnt), interpret=True, fused=True)
+    out_m, lse_m = multilevel_attention(
+        q, k, v, levels, interpret=True, fused=True)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_m),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse_l), np.asarray(lse_m),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_fused_lists_gradients():
+    q, k, v = _qkv(jax.random.PRNGKey(23), l=512)
+    scores = jax.random.uniform(jax.random.PRNGKey(24), (1, 2, 4, 4))
+    levels = M.multilevel_mask(scores, force_last2=False)
+    idx, cnt = M.multilevel_lists(scores, cap=128, force_last2=False)
+
+    def loss_lists(q, k, v):
+        out, lse = multilevel_attention(
+            q, k, v, None, lists=(idx, cnt), interpret=True, fused=True)
+        return jnp.sum(jnp.sin(out)) + 0.05 * jnp.sum(lse)
+
+    def loss_levels(q, k, v):
+        out, lse = multilevel_attention(
+            q, k, v, levels, interpret=True, fused=True)
+        return jnp.sum(jnp.sin(out)) + 0.05 * jnp.sum(lse)
+
+    g1 = jax.grad(loss_lists, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_levels, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5,
+            err_msg=f"d{name}")
