@@ -132,7 +132,8 @@ def main():
         qc, kc, vc = peaked_qkv(jax.random.fold_in(rng, 20), bc, hc, lc, dc)
         cfg_c = dataclasses.replace(
             COGVIDEOX_ASA, pre_arranged=True, mask_mode="multilevel",
-            predictor="sum", sample_tokens_per_block=16)
+            predictor="sum", sample_tokens_per_block=16,
+            multilevel_q_rows=256)
         f_cog = jax.jit(
             lambda r, q, k, v: adaptive_sparse_attention(r, q, k, v, cfg_c)[0]
         )

@@ -69,6 +69,10 @@ class ASAConfig:
     # Tokens arrive already gilbert-arranged (the model permuted once after
     # patchify instead of per attention call) — skip the per-call permutes.
     pre_arranged: bool = False
+    # Query rows per multilevel mask row (fused lists lane only).  256
+    # halves the kernel's per-row overhead; the mask is then shared by 256
+    # consecutive (gilbert-local) queries instead of the reference's 128.
+    multilevel_q_rows: int = 128
 
     @property
     def video_tokens(self) -> int:
@@ -184,11 +188,24 @@ def adaptive_sparse_attention(
             # ranking (one argsort + short band sorts) — skips the level
             # mask and its four re-sorting round-trips entirely.
             scores = predict_block_scores(rng, q, k, cfg)
+            q_rows = cfg.multilevel_q_rows
+            if q_rows != cfg.block_size:
+                # Coarsen the score rows to q_rows granularity (mean over
+                # row groups) so one mask row covers q_rows queries.
+                g = q_rows // cfg.block_size
+                nq = scores.shape[-2]
+                if nq % g:
+                    scores = jnp.pad(
+                        scores, ((0, 0), (0, 0), (0, g - nq % g), (0, 0)),
+                        mode="edge")
+                scores = scores.reshape(
+                    *scores.shape[:-2], -1, g, scores.shape[-1]).mean(-2)
             n_kt = -(-k.shape[2] // KV_BLOCK)
             cap = -(-n_kt // 128) * 128
             lists = M.multilevel_lists(scores, cfg.mask_ratios, cap=cap)
             out, _ = multilevel_attention(
-                q, k, v, None, lists=lists, interpret=interpret)
+                q, k, v, None, lists=lists, interpret=interpret,
+                q_rows=q_rows)
         else:
             levels = compute_mask(rng, q, k, cfg) if mask is None else mask
             out, _ = multilevel_attention(

@@ -337,6 +337,7 @@ def multilevel_attention(
     interpret: Optional[bool] = None,
     fused: Optional[bool] = None,
     lists=None,
+    q_rows: int = 128,
 ):
     """Multi-level pooled sparse attention over ``[B, H, L, D]``.
 
@@ -355,6 +356,10 @@ def multilevel_attention(
     ``blade.attention.masks.multilevel_lists`` — skips building and
     re-sorting the level mask; ``levels`` may then be ``None``.  Fused
     path only.
+
+    ``q_rows``: query rows per mask row (fused path only; 256 halves the
+    kernel's per-row overhead at coarser mask granularity — equivalent to
+    a 128-row mask with each row duplicated).
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -367,9 +372,11 @@ def multilevel_attention(
         fused = fused_supported(d, lk, q.dtype.itemsize)
     if lists is not None and not fused:
         raise ValueError("precomputed lists require the fused path")
+    if q_rows != 128 and not fused:
+        raise ValueError("q_rows != 128 requires the fused path")
     if fused:
         return _multilevel_fused(q, k, v, levels, scale, interpret,
-                                 lists=lists)
+                                 lists=lists, q_rows=q_rows)
 
     # Level-1 pass: exact per-block attention via the binary sparse kernel
     # at the ORIGINAL head dim (it lane-packs d=64 internally; pre-padding
@@ -742,13 +749,14 @@ def _masks_from_lists(idx_all, cnt_all, n_qt, n_kt, sub_s):
     return masks
 
 
-def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret):
+def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
+                    q_rows=128):
     """Fused forward.  q: [BH, Lq_pad, d]; k/v: [BH, Lk_pad, d] (edge-padded
     originals); idx_all/cnt_all: packed per-level lists (see _pack_lists)."""
     bh, lq_pad, d = q.shape
     lk_pad = k.shape[1]
     n_kt = lk_pad // KV_BLOCK
-    q_block = 128
+    q_block = q_rows
     r_rows = FUSED_ROWS
     lq_out = lq_pad
     n_qt = idx_all.shape[1]
@@ -818,21 +826,22 @@ def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret):
     return out[:, :lq_out], lse8[:, 0, :lq_out]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def _fused_ml_core(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all, cnt_all,
-                   scale, lk, interpret):
-    return _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret)
+                   scale, lk, interpret, q_rows):
+    return _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
+                           q_rows)
 
 
 def _fused_ml_core_fwd(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all,
-                       cnt_all, scale, lk, interpret):
+                       cnt_all, scale, lk, interpret, q_rows):
     out, lse = _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk,
-                               interpret)
+                               interpret, q_rows)
     return (out, lse), (q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all,
                         cnt_all, out, lse)
 
 
-def _fused_ml_core_bwd(scale, lk, interpret, res, g):
+def _fused_ml_core_bwd(scale, lk, interpret, q_rows, res, g):
     """Direct multi-level backward: each level's grouped-gather dQ/dK/dV
     pass runs against the GLOBAL merged (out, lse) — p_ij = exp(s_ij - lse_i)
     already includes the cross-level softmax weights, so per-level passes
@@ -852,7 +861,12 @@ def _fused_ml_core_bwd(scale, lk, interpret, res, g):
     n_kt = k.shape[1] // KV_BLOCK
     sub_s = -(-n_kt // 128)
     level_masks = _masks_from_lists(
-        idx_all, cnt_all, q.shape[1] // 128, n_kt, sub_s)
+        idx_all, cnt_all, q.shape[1] // q_rows, n_kt, sub_s)
+    if q_rows != 128:
+        # Masks are at q_rows granularity; the gather backward works on
+        # 128-row tiles — duplicate each mask row onto its 128-row tiles.
+        level_masks = [
+            jnp.repeat(m, q_rows // 128, axis=1) for m in level_masks]
 
     dq = jnp.zeros_like(qp, dtype=jnp.float32)
     grads = []
@@ -878,7 +892,8 @@ def _fused_ml_core_bwd(scale, lk, interpret, res, g):
 _fused_ml_core.defvjp(_fused_ml_core_fwd, _fused_ml_core_bwd)
 
 
-def _multilevel_fused(q, k, v, levels, scale, interpret, lists=None):
+def _multilevel_fused(q, k, v, levels, scale, interpret, lists=None,
+                      q_rows=128):
     """Build pads + pooled pyramids and invoke the fused single-pass core.
 
     Pooling stays OUTSIDE the custom-VJP boundary so XLA autodiff handles
@@ -886,11 +901,13 @@ def _multilevel_fused(q, k, v, levels, scale, interpret, lists=None):
     the per-level composition.  ``lists``: optional precomputed
     ``(idx [B,H,nQ,4,sub_s*128], counts [B,H,nQ,4])`` per-level ascending
     lists (``blade.attention.masks.multilevel_lists``) — skips the
-    level-mask round-trip entirely.
+    level-mask round-trip entirely.  ``q_rows``: query rows per mask row
+    (128 or 256; coarser rows halve the kernel's per-row overhead at the
+    cost of mask granularity).
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    lq_pad = -(-lq // 128) * 128
+    lq_pad = -(-lq // q_rows) * q_rows
     kp_full = pad_to_block_multiple(k, 128, axis=2)
     vp_full = pad_to_block_multiple(v, 128, axis=2)
     qp = (
@@ -920,7 +937,7 @@ def _multilevel_fused(q, k, v, levels, scale, interpret, lists=None):
         idx_all, cnt_all = _lists_from_levels(levels_bh, sub_s)
     out, lse = _fused_ml_core(
         flat(qp), flat(kp_full), flat(vp_full), *pooled, idx_all, cnt_all,
-        scale, lk, interpret,
+        scale, lk, interpret, q_rows,
     )
     out = out.reshape(b, h, lq_pad, d)[:, :, :lq]
     lse = lse.reshape(b, h, lq_pad)[:, :, :lq]

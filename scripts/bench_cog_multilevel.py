@@ -40,6 +40,16 @@ def main(check=False, small=False):
                                     interpret=False, fused=True)
 
     f_lists = jax.jit(fused_lists)
+
+    def fused_lists_256(q, k, v, sc):
+        if sc.shape[-2] % 2:
+            sc = jnp.pad(sc, ((0, 0), (0, 0), (0, 1), (0, 0)), mode="edge")
+        sc = sc.reshape(*sc.shape[:-2], -1, 2, sc.shape[-1]).mean(-2)
+        lists = M.multilevel_lists(sc, cap=cap)
+        return multilevel_attention(q, k, v, None, lists=lists,
+                                    interpret=False, fused=True, q_rows=256)
+
+    f_lists256 = jax.jit(fused_lists_256)
     f_comp = jax.jit(lambda q, k, v, lv: multilevel_attention(
         q, k, v, lv, interpret=False, fused=False))
     f_dense = jax.jit(lambda q, k, v: flash_attention(q, k, v, interpret=False)[0])
@@ -61,6 +71,21 @@ def main(check=False, small=False):
         print("lists vs boosted-levels: out maxerr",
               float(jnp.abs(ol - ob).max()), "lse maxerr",
               float(jnp.abs(ll - lb).max()))
+        # q_rows=256 vs the row-duplicated 128-row mask (exact contract)
+        sc2 = scores
+        if sc2.shape[-2] % 2:
+            sc2 = jnp.pad(sc2, ((0, 0), (0, 0), (0, 1), (0, 0)), mode="edge")
+        sc2 = sc2.reshape(*sc2.shape[:-2], -1, 2, sc2.shape[-1]).mean(-2)
+        lv256 = M.multilevel_mask(sc2)
+        lv_dup = jnp.repeat(lv256, 2, axis=-2)[..., :nq, :]
+        o6, l6 = jax.jit(lambda q, k, v, lv: multilevel_attention(
+            q, k, v, lv, interpret=False, fused=True, q_rows=256))(
+                q, k, v, lv256)
+        od, ld = f_fused(q, k, v, lv_dup)
+        o6, l6, od, ld = map(lambda t: jnp.asarray(t, jnp.float32), (o6, l6, od, ld))
+        print("q256 vs row-dup levels: out maxerr",
+              float(jnp.abs(o6 - od).max()), "lse maxerr",
+              float(jnp.abs(l6 - ld).max()))
         if small:
             ro, rl = multilevel_block_attention_reference(q, k, v, levels)
             print("fused vs ref:  out maxerr",
@@ -72,6 +97,8 @@ def main(check=False, small=False):
                        (q, k, v, levels), iters=8)
     t_lists = bench_fn(lambda q, k, v, sc: f_lists(q, k, v, sc)[0],
                        (q, k, v, scores), iters=8)
+    t_l256 = bench_fn(lambda q, k, v, sc: f_lists256(q, k, v, sc)[0],
+                      (q, k, v, scores), iters=8)
     t_comp = bench_fn(lambda q, k, v, lv: f_comp(q, k, v, lv)[0],
                       (q, k, v, levels), iters=8)
     t_dense = bench_fn(f_dense, (q, k, v), iters=4)
@@ -79,6 +106,7 @@ def main(check=False, small=False):
     print(f"composition  {t_comp*1e3:8.2f} ms  ({t_dense/t_comp:.2f}x)")
     print(f"fused+levels {t_fused*1e3:8.2f} ms  ({t_dense/t_fused:.2f}x)")
     print(f"fused+lists  {t_lists*1e3:8.2f} ms  ({t_dense/t_lists:.2f}x)")
+    print(f"fused+l q256 {t_l256*1e3:8.2f} ms  ({t_dense/t_l256:.2f}x)")
 
 
 if __name__ == "__main__":

@@ -190,3 +190,42 @@ def test_fused_lists_gradients():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5,
             err_msg=f"d{name}")
+
+
+def test_fused_q_rows_256_matches_row_duplicated_mask():
+    """256-row mask == 128-row mask with each row duplicated (exact)."""
+    q, k, v = _qkv(jax.random.PRNGKey(25), l=1024)
+    scores = jax.random.uniform(jax.random.PRNGKey(26), (1, 2, 4, 8))
+    levels256 = M.multilevel_mask(scores, force_last2=False)
+    levels128 = jnp.repeat(levels256, 2, axis=-2)
+    out_c, lse_c = multilevel_attention(
+        q, k, v, levels128, interpret=True, fused=False)
+    out_f, lse_f = multilevel_attention(
+        q, k, v, levels256, interpret=True, fused=True, q_rows=256)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(lse_f), np.asarray(lse_c),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_q_rows_256_gradients():
+    q, k, v = _qkv(jax.random.PRNGKey(27), l=1024)
+    scores = jax.random.uniform(jax.random.PRNGKey(28), (1, 2, 4, 8))
+    levels256 = M.multilevel_mask(scores, force_last2=False)
+    levels128 = jnp.repeat(levels256, 2, axis=-2)
+
+    def loss_256(q, k, v):
+        out, lse = multilevel_attention(
+            q, k, v, levels256, interpret=True, fused=True, q_rows=256)
+        return jnp.sum(jnp.sin(out)) + 0.05 * jnp.sum(lse)
+
+    def loss_ref(q, k, v):
+        out, lse = multilevel_block_attention_reference(q, k, v, levels128)
+        return jnp.sum(jnp.sin(out)) + 0.05 * jnp.sum(lse)
+
+    g1 = jax.grad(loss_256, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
+            err_msg=f"d{name}")
