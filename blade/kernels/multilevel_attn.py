@@ -631,7 +631,9 @@ def _fused_ml_kernel(
         # ---- pooled levels: register gathers from the resident pyramid ----
         for li, level in enumerate((2, 4, 8), start=1):
             seg_rows = KV_BLOCK // level
-            tile = POOLED_TILE[level]
+            # No point tiling wider than the whole pooled pyramid (small
+            # geometries/tests): clamp to n_kt blocks, 128-lane minimum.
+            tile = max(128, min(POOLED_TILE[level], seg_rows * n_kt))
             segs = tile // seg_rows
             colp = jax.lax.broadcasted_iota(jnp.int32, (q_block, tile), 1)
             grpp = colp // seg_rows
