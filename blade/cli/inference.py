@@ -48,6 +48,10 @@ def get_args():
     p.add_argument("--random-init", action="store_true",
                    help="random weights (smoke/benchmark)")
     p.add_argument("--tiny", action="store_true", help="tiny CPU preset")
+    p.add_argument("--preset", type=str, default=None,
+                   help="named preset (overrides --family/--tiny): "
+                        "wan-1.3b-480p, wan-14b-720p, cogvideox-5b-480p, "
+                        "cogvideox-2b-480p")
     return p.parse_args()
 
 
@@ -58,7 +62,10 @@ def build_pipeline(args):
     from blade.sampling.t2v import T2VPipeline
 
     args_mask_mode = getattr(args, "mask_mode", "multilevel")
-    if args.tiny:
+    named = getattr(args, "preset", None)
+    if named:
+        preset = C.PRESETS[named]
+    elif args.tiny:
         preset = C.WAN_TINY_PRESET if args.family == "wan" else C.COGVIDEOX_TINY_PRESET
     else:
         preset = C.WAN_480P if args.family == "wan" else C.COGVIDEOX_480P

@@ -16,9 +16,10 @@ from blade.models.t5 import T5_TINY, T5_XXL, UMT5_XXL, T5Config
 from blade.models.vae import TINY_VAE
 from blade.models.vae_cogvideox import COGVIDEOX_VAE_FULL
 from blade.models.vae_wan import WAN21_VAE
-from blade.models.wan_dit import WAN_1_3B, WAN_TINY, WanConfig
+from blade.models.wan_dit import WAN_1_3B, WAN_14B, WAN_TINY, WanConfig
 
 __all__ = ["VideoSpec", "FamilyPreset", "WAN_480P", "COGVIDEOX_480P",
+           "WAN_14B_720P", "COGVIDEOX_2B_480P", "PRESETS",
            "WAN_TINY_PRESET", "COGVIDEOX_TINY_PRESET", "derive_asa_config"]
 
 
@@ -52,6 +53,9 @@ class FamilyPreset:
     # near-identical mask quality (reference parity: "max" / 32).
     asa_predictor: str = "sum"
     asa_sample_tokens: int = 16
+    # Query rows per multilevel mask row (fused eval kernel; 256 halves the
+    # kernel's per-row overhead — 2.25x vs dense at CogVideoX geometry).
+    asa_multilevel_q_rows: int = 128
 
     def latent_grid(self) -> Tuple[int, int, int]:
         """(T, H, W) latent token grid: VAE compression x DiT patching."""
@@ -80,6 +84,7 @@ def derive_asa_config(preset: FamilyPreset, mask_mode: str = "energy") -> ASACon
         mask_mode=mask_mode,
         predictor=preset.asa_predictor,
         sample_tokens_per_block=preset.asa_sample_tokens,
+        multilevel_q_rows=preset.asa_multilevel_q_rows,
     )
 
 
@@ -92,7 +97,35 @@ COGVIDEOX_480P = FamilyPreset(
     name="cogvideox", dit=COGVIDEOX_5B, vae=COGVIDEOX_VAE_FULL, text=T5_XXL,
     max_text_len=226, video=VideoSpec(49, 480, 720, fps=8),
     sample_gap=15, max_retain_ratio=0.1, joint_text_attention=True,
+    asa_multilevel_q_rows=256,
 )
+# Wan2.1-T2V-14B at its native 720p (81f 720x1280 -> 21x45x80 latents =
+# 75,600 tokens; diffusers flow_shift recommendation for 720p is 5.0).
+# Single-chip HBM cannot hold 28 GB of bf16 params: serve with fsdp/tp
+# over a pod slice (see tests/test_large_presets.py for the sharded plan).
+WAN_14B_720P = FamilyPreset(
+    name="wan", dit=WAN_14B, vae=WAN21_VAE, text=UMT5_XXL, max_text_len=512,
+    video=VideoSpec(81, 720, 1280, fps=16), flow_shift=5.0,
+    sample_gap=30, max_retain_ratio=0.2,
+)
+# CogVideoX-2B (30 layers, 30 heads, dim 1920).  Scheduler constants from
+# the diffusers CogVideoX-2b config (snr_shift 3.0, no zero-terminal-SNR
+# rescale) — to be validated against real checkpoints.
+COGVIDEOX_2B_480P = FamilyPreset(
+    name="cogvideox", dit=COGVIDEOX_2B, vae=COGVIDEOX_VAE_FULL, text=T5_XXL,
+    max_text_len=226, video=VideoSpec(49, 480, 720, fps=8),
+    snr_shift_scale=3.0, rescale_betas_zero_snr=False,
+    sample_gap=15, max_retain_ratio=0.1, joint_text_attention=True,
+    asa_multilevel_q_rows=256,
+)
+
+# Named preset registry (CLI --preset).
+PRESETS = {
+    "wan-1.3b-480p": WAN_480P,
+    "wan-14b-720p": WAN_14B_720P,
+    "cogvideox-5b-480p": COGVIDEOX_480P,
+    "cogvideox-2b-480p": COGVIDEOX_2B_480P,
+}
 
 # CPU-testable end-to-end presets.
 WAN_TINY_PRESET = FamilyPreset(
