@@ -148,11 +148,33 @@ def predict_block_scores(
     )
 
 
+def _coarsen_scores(scores, cfg: ASAConfig):
+    """Mean-pool score rows to ``multilevel_q_rows`` granularity."""
+    g = cfg.multilevel_q_rows // cfg.block_size
+    if g == 1:
+        return scores
+    nq = scores.shape[-2]
+    if nq % g:
+        scores = jnp.pad(
+            scores, ((0, 0), (0, 0), (0, g - nq % g), (0, 0)), mode="edge")
+    return scores.reshape(
+        *scores.shape[:-2], -1, g, scores.shape[-1]).mean(-2)
+
+
 def compute_mask(rng, q, k, cfg: ASAConfig):
     """The data-dependent mask for (q, k): multilevel int levels or the
-    boolean energy mask (both derivable from the pooled score estimate)."""
+    boolean energy mask (both derivable from the pooled score estimate).
+
+    Multilevel levels come out at ``multilevel_q_rows`` granularity (one
+    row per ``multilevel_q_rows`` queries) when the fused kernel supports
+    the geometry; otherwise at ``block_size``."""
     scores = predict_block_scores(rng, q, k, cfg)
     if cfg.mask_mode == "multilevel":
+        from blade.kernels.multilevel_attn import fused_supported
+
+        if fused_supported(q.shape[-1], k.shape[2],
+                           jnp.dtype(q.dtype).itemsize):
+            scores = _coarsen_scores(scores, cfg)
         return M.multilevel_mask(scores, cfg.mask_ratios)
     return M.energy_mask(
         scores,
@@ -187,29 +209,21 @@ def adaptive_sparse_attention(
             # Fused fast lane: per-level lists straight from the score
             # ranking (one argsort + short band sorts) — skips the level
             # mask and its four re-sorting round-trips entirely.
-            scores = predict_block_scores(rng, q, k, cfg)
-            q_rows = cfg.multilevel_q_rows
-            if q_rows != cfg.block_size:
-                # Coarsen the score rows to q_rows granularity (mean over
-                # row groups) so one mask row covers q_rows queries.
-                g = q_rows // cfg.block_size
-                nq = scores.shape[-2]
-                if nq % g:
-                    scores = jnp.pad(
-                        scores, ((0, 0), (0, 0), (0, g - nq % g), (0, 0)),
-                        mode="edge")
-                scores = scores.reshape(
-                    *scores.shape[:-2], -1, g, scores.shape[-1]).mean(-2)
+            scores = _coarsen_scores(predict_block_scores(rng, q, k, cfg), cfg)
             n_kt = -(-k.shape[2] // KV_BLOCK)
             cap = -(-n_kt // 128) * 128
             lists = M.multilevel_lists(scores, cfg.mask_ratios, cap=cap)
             out, _ = multilevel_attention(
                 q, k, v, None, lists=lists, interpret=interpret,
-                q_rows=q_rows)
+                q_rows=cfg.multilevel_q_rows)
         else:
+            # compute_mask / replayed masks carry their row granularity in
+            # their shape: q_rows = ceil(n_128_rows / n_mask_rows) * 128.
             levels = compute_mask(rng, q, k, cfg) if mask is None else mask
+            n128 = -(-q.shape[2] // 128)
+            q_rows = 128 * (-(-n128 // levels.shape[-2]))
             out, _ = multilevel_attention(
-                q, k, v, levels, interpret=interpret)
+                q, k, v, levels, interpret=interpret, q_rows=q_rows)
         ratios = cfg.mask_ratios or M.DEFAULT_MASK_RATIOS
         density = sum(
             (hi - lo) / lv for lv, (lo, hi) in ratios.items() if lv != 0
