@@ -42,9 +42,48 @@ def run(sparse: bool, steps: int = 8):
     return min(times)
 
 
+def run_fwd(sparse: bool):
+    """Single full-DiT denoise forward at 480p (one step of the 8-step
+    loop at CFG 1.0; the monolithic sampler program currently exceeds the
+    remote-compile relay's tolerance, but e2e = steps x forward + O(ms)
+    scheduler math, so this is the honest per-step measurement)."""
+    from blade.utils.profiling import bench_fn
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    pipe = T2VPipeline.random_init(
+        WAN_480P, rng, sparse=sparse, mask_mode="energy",
+        with_text_encoder=False, interpret=False)
+    print(f"  [init {time.perf_counter()-t0:.0f}s]", flush=True)
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (1, WAN_480P.max_text_len, WAN_480P.text.d_model), jnp.bfloat16)
+    lat = jax.random.normal(
+        jax.random.PRNGKey(2), pipe.latent_shape(1), jnp.float32
+    ).astype(pipe.dtype)
+    model = pipe.model_fn()
+    f = jax.jit(lambda x, e, r: model(x, jnp.full((1,), 500.0), e, r))
+    t0 = time.perf_counter()
+    lowered = f.lower(lat, embeds, jax.random.PRNGKey(3))
+    print(f"  [lower {time.perf_counter()-t0:.0f}s]", flush=True)
+    t0 = time.perf_counter()
+    lowered.compile()
+    print(f"  [compile {time.perf_counter()-t0:.0f}s]", flush=True)
+    t = bench_fn(f, (lat, embeds, jax.random.PRNGKey(3)), iters=4)
+    name = "sparse" if sparse else "dense"
+    print(f"{name} fwd: {t*1e3:.1f} ms/step -> 8-step denoise ~{8*t:.2f} s")
+    return t
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
-    ts = run(True) if which in ("both", "sparse") else None
-    td = run(False) if which in ("both", "dense") else None
-    if ts and td:
-        print(f"speedup: {td / ts:.2f}x")
+    if which in ("fwd", "fwd-sparse", "fwd-dense"):
+        ts = run_fwd(True) if which != "fwd-dense" else None
+        td = run_fwd(False) if which != "fwd-sparse" else None
+        if ts and td:
+            print(f"per-step speedup: {td / ts:.2f}x")
+    else:
+        ts = run(True) if which in ("both", "sparse") else None
+        td = run(False) if which in ("both", "dense") else None
+        if ts and td:
+            print(f"speedup: {td / ts:.2f}x")
