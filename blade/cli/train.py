@@ -40,7 +40,26 @@ def get_args():
     p.add_argument("--learning_rate_fake", type=float, default=5e-4)
     p.add_argument("--adam_beta1", type=float, default=0.0)
     p.add_argument("--adam_beta2", type=float, default=0.95)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-4)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
+    # Generator LR schedule (reference get_scheduler surface; the launch
+    # recipe uses cosine_with_restarts + 5 warmup steps, train_tdm_1.sh).
+    p.add_argument("--lr_scheduler", default="constant",
+                   choices=["constant", "constant_with_warmup", "linear",
+                            "cosine", "cosine_with_restarts", "polynomial"])
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--lr_num_cycles", type=int, default=1)
+    p.add_argument("--lr_power", type=float, default=1.0)
+    # Prodigy sub-knobs (reference train_cogvideo_tdm.py:475-511).
+    p.add_argument("--prodigy_beta3", type=float, default=None)
+    p.add_argument("--prodigy_decouple", action="store_true", default=True)
+    p.add_argument("--no_prodigy_decouple", dest="prodigy_decouple",
+                   action="store_false")
+    p.add_argument("--prodigy_use_bias_correction", action="store_true",
+                   default=True)
+    p.add_argument("--prodigy_safeguard_warmup", action="store_true",
+                   default=False)
     p.add_argument("--rank", type=int, default=64)
     p.add_argument("--lora_alpha", type=float, default=64)
     p.add_argument("--optimizer", choices=["adamw", "adam", "prodigy"],
@@ -57,7 +76,13 @@ def get_args():
                    help="offline tensorboard event files in "
                         "<output_dir>/tb (metrics.jsonl is always written)")
     p.add_argument("--batch_size", type=int, default=5)
-    p.add_argument("--max_train_steps", type=int, default=300)
+    p.add_argument("--max_train_steps", type=int, default=None,
+                   help="total optimizer steps; overrides --num_train_epochs"
+                        " (default: epochs x prompts/batch, or 300 without"
+                        " a prompt store)")
+    p.add_argument("--num_train_epochs", type=int, default=1,
+                   help="epochs over the prompt-embedding store "
+                        "(reference train_cogvideo_tdm.py:331,1558)")
     p.add_argument("--use_sparsity", action="store_true", default=True)
     p.add_argument("--dense", dest="use_sparsity", action="store_false")
     # checkpointing
@@ -168,6 +193,34 @@ def main():
             base_params,
         )
 
+    # Prompt embedding source: precomputed dir (data-free) or random smoke.
+    # A packed native store (with background prefetch) is built on first use;
+    # the reference reloads a pickle per sample per step instead.
+    store = None
+    uncond_np = None
+    if args.prompt_embeds:
+        from blade import native
+
+        base = args.prompt_embeds
+        packed = os.path.join(base, "store.bin")
+        if not os.path.exists(packed):
+            native.pack_embeddings(
+                os.path.join(base, "individual_embeddings"), packed
+            )
+        store = native.EmbedStore(packed)
+        uncond_np = np.load(os.path.join(base, "uncond.npy"))
+
+    if args.max_train_steps is None:
+        # Reference epoch semantics (train_cogvideo_tdm.py:1278,1558):
+        # max_train_steps = num_train_epochs x optimizer steps per pass
+        # over the prompt store (per-process batch x process count stride).
+        if store is not None:
+            steps_per_epoch = -(-len(store) // (
+                args.batch_size * jax.process_count() * args.grad_accum))
+        else:
+            steps_per_epoch = 300
+        args.max_train_steps = args.num_train_epochs * steps_per_epoch
+
     cfg = tdm.TDMConfig(
         k_step=args.k_step, eta=args.eta, cfg=args.cfg,
         lambda_reg=args.lambda_reg, lr_generator=args.learning_rate_g,
@@ -179,6 +232,17 @@ def main():
         optimizer=args.optimizer,
         optimizer_state_bf16=args.use_8bit_adam,
         grad_accum=args.grad_accum,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        lr_num_cycles=args.lr_num_cycles,
+        lr_power=args.lr_power,
+        max_train_steps=args.max_train_steps,
+        weight_decay=args.adam_weight_decay,
+        adam_eps=args.adam_epsilon,
+        prodigy_beta3=args.prodigy_beta3,
+        prodigy_decouple=args.prodigy_decouple,
+        prodigy_use_bias_correction=args.prodigy_use_bias_correction,
+        prodigy_safeguard_warmup=args.prodigy_safeguard_warmup,
     )
 
     def apply_fn(p, x, tt, txt, r):
@@ -204,23 +268,6 @@ def main():
                 else int(args.resume_from_checkpoint))
         state = ckpt.restore(state, step)
         print(f"resumed from step {int(state.step)}")
-
-    # Prompt embedding source: precomputed dir (data-free) or random smoke.
-    # A packed native store (with background prefetch) is built on first use;
-    # the reference reloads a pickle per sample per step instead.
-    store = None
-    uncond_np = None
-    if args.prompt_embeds:
-        from blade import native
-
-        base = args.prompt_embeds
-        packed = os.path.join(base, "store.bin")
-        if not os.path.exists(packed):
-            native.pack_embeddings(
-                os.path.join(base, "individual_embeddings"), packed
-            )
-        store = native.EmbedStore(packed)
-        uncond_np = np.load(os.path.join(base, "uncond.npy"))
 
     def load_batch(step_idx, r):
         if store is not None:
@@ -267,13 +314,17 @@ def main():
         state, metrics = train_step(state, batch, r)
         steps_done += 1
         lf, lg = float(metrics["loss_fake"]), float(metrics["loss_du"])
-        print(f"step {step_idx}: loss_fake={lf:.4f} loss_du={lg:.4f} "
+        rec = {"step": step_idx, "loss_fake": lf, "loss_du": lg,
+               "t": time.time()}
+        lr_str = ""
+        if "lr" in metrics:
+            rec["lr"] = float(metrics["lr"])
+            lr_str = f" lr={rec['lr']:.2e}"
+        print(f"step {step_idx}: loss_fake={lf:.4f} loss_du={lg:.4f}{lr_str} "
               f"({(time.time() - t0) / steps_done:.1f}s/step)")
         import json as _json
 
-        metrics_log.write(_json.dumps(
-            {"step": step_idx, "loss_fake": lf, "loss_du": lg,
-             "t": time.time()}) + "\n")
+        metrics_log.write(_json.dumps(rec) + "\n")
         metrics_log.flush()
         if tb_writer is not None:
             tb_writer.add_scalar("loss_fake", lf, step_idx)

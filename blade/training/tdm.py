@@ -121,6 +121,26 @@ class TDMConfig:
     # Keep Adam moments in bf16 — the TPU analogue of the reference's
     # --use_8bit_adam memory saving (no int8 optimizer states in optax).
     optimizer_state_bf16: bool = False
+    # Generator LR schedule (HF get_scheduler semantics; the reference
+    # recipe runs cosine_with_restarts + 5 warmup steps, train_tdm_1.sh:
+    # 23-25, applied only to the generator optimizer at
+    # train_cogvideo_tdm.py:1291-1297,1739).  The fake optimizer is always
+    # constant-LR.
+    lr_scheduler: str = "constant"
+    lr_warmup_steps: int = 500
+    lr_num_cycles: int = 1
+    lr_power: float = 1.0
+    max_train_steps: int = 300  # num_training_steps fed to the schedule
+    # AdamW/prodigy shared knobs (reference --adam_weight_decay/epsilon).
+    weight_decay: float = 1e-4
+    adam_eps: float = 1e-8
+    # Prodigy sub-knobs (train_cogvideo_tdm.py:888-896).  optax's prodigy
+    # is always bias-corrected and decoupled-WD by construction; `decouple=
+    # False` (coupled L2) is expressed by zeroing the decoupled term.
+    prodigy_beta3: Optional[float] = None
+    prodigy_decouple: bool = True
+    prodigy_use_bias_correction: bool = True  # accepted; optax always does
+    prodigy_safeguard_warmup: bool = False
 
 
 class TDMState(flax.struct.PyTreeNode):
@@ -132,26 +152,43 @@ class TDMState(flax.struct.PyTreeNode):
     opt_f: Any
 
 
-def _optimizer(lr, cfg: TDMConfig):
+def _optimizer(lr, cfg: TDMConfig, *, scheduled: bool = False):
+    """Build one optimizer.  ``scheduled=True`` (generator only) wraps the
+    base LR in the configured HF-style schedule; the fake optimizer is
+    always constant-LR (the reference never schedules ``optimizer_d``)."""
+    if scheduled and cfg.lr_scheduler != "constant":
+        from blade.training.lr_schedules import make_lr_schedule
+
+        lr = make_lr_schedule(
+            cfg.lr_scheduler, lr,
+            warmup_steps=cfg.lr_warmup_steps,
+            total_steps=cfg.max_train_steps,
+            num_cycles=cfg.lr_num_cycles,
+            power=cfg.lr_power,
+        )
     accum_dtype = jnp.bfloat16 if cfg.optimizer_state_bf16 else None
     if cfg.optimizer == "prodigy":
         import optax.contrib as contrib
 
         inner = contrib.prodigy(
             lr, betas=(max(cfg.adam_b1, 0.9), max(cfg.adam_b2, 0.99)),
-            weight_decay=1e-4,
+            beta3=cfg.prodigy_beta3,
+            eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay if cfg.prodigy_decouple else 0.0,
+            safeguard_warmup=cfg.prodigy_safeguard_warmup,
         )
         # prodigy's d-estimate is 0/0 on all-zero grads (which the
         # fake-loss skip guard emits); skip non-finite updates instead.
         inner = optax.apply_if_finite(inner, max_consecutive_errors=10**6)
     elif cfg.optimizer == "adam":
         inner = optax.adam(
-            lr, b1=cfg.adam_b1, b2=cfg.adam_b2, mu_dtype=accum_dtype
+            lr, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+            mu_dtype=accum_dtype,
         )
     else:
         inner = optax.adamw(
-            lr, b1=cfg.adam_b1, b2=cfg.adam_b2, weight_decay=1e-4,
-            mu_dtype=accum_dtype,
+            lr, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay, mu_dtype=accum_dtype,
         )
     tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner)
     if cfg.grad_accum > 1:
@@ -166,7 +203,7 @@ def create_tdm_state(rng, base_params, cfg: TDMConfig) -> TDMState:
         copy = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
         lora_g = copy(base_params)
         lora_f = copy(base_params)
-        opt_g = _optimizer(cfg.lr_generator, cfg).init(lora_g)
+        opt_g = _optimizer(cfg.lr_generator, cfg, scheduled=True).init(lora_g)
         opt_f = _optimizer(cfg.lr_fake, cfg).init(lora_f)
         return TDMState(
             step=jnp.zeros((), jnp.int32), base_params=base_params,
@@ -174,7 +211,7 @@ def create_tdm_state(rng, base_params, cfg: TDMConfig) -> TDMState:
         )
     lora_g = lora_lib.init_lora(rg, base_params, rank=cfg.lora_rank)
     lora_f = lora_lib.init_lora(rf, base_params, rank=cfg.lora_rank)
-    opt_g = _optimizer(cfg.lr_generator, cfg).init(lora_g)
+    opt_g = _optimizer(cfg.lr_generator, cfg, scheduled=True).init(lora_g)
     opt_f = _optimizer(cfg.lr_fake, cfg).init(lora_f)
     return TDMState(
         step=jnp.zeros((), jnp.int32),
@@ -241,7 +278,7 @@ def make_tdm_train_step(
     ``batch``: dict with ``text_embeds`` [B, Lt, Dt], ``uncond_embeds``
     (same shape), and ``noise`` [B, *latent_shape].
     """
-    opt_g = _optimizer(cfg.lr_generator, cfg)
+    opt_g = _optimizer(cfg.lr_generator, cfg, scheduled=True)
     opt_f = _optimizer(cfg.lr_fake, cfg)
     if cfg.train_full_model:
         merge = lambda base, l: l  # adapters ARE the full parameters
@@ -418,6 +455,16 @@ def make_tdm_train_step(
             opt_f=opt_f_state,
         )
         metrics = {"loss_fake": loss_fake, "loss_du": loss_g}
+        if cfg.lr_scheduler != "constant":
+            from blade.training.lr_schedules import make_lr_schedule
+
+            sched = make_lr_schedule(
+                cfg.lr_scheduler, cfg.lr_generator,
+                warmup_steps=cfg.lr_warmup_steps,
+                total_steps=cfg.max_train_steps,
+                num_cycles=cfg.lr_num_cycles, power=cfg.lr_power,
+            )
+            metrics["lr"] = sched(state.step // cfg.grad_accum)
         return new_state, metrics
 
     return train_step

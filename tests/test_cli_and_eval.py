@@ -40,9 +40,37 @@ def test_process_prompts_and_train_data_free(tmp_path, monkeypatch):
         "--prompt_embeds", str(out),
         "--max_train_steps", "1", "--batch_size", "2",
         "--checkpointing_steps", "10",
+        "--lr_scheduler", "cosine_with_restarts", "--lr_warmup_steps", "2",
         "--output_dir", str(tmp_path / "run"),
     ])
     assert (tmp_path / "run" / "tdm_lora.npz").exists()
+    # scheduled lr is logged (warmup step 0 -> lr 0)
+    rec = json.loads(
+        (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()[-1])
+    assert rec["lr"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_train_cli_epoch_semantics(tmp_path, monkeypatch):
+    """--num_train_epochs drives max_train_steps from the store size
+    (reference train_cogvideo_tdm.py:1278)."""
+    prompts_file = tmp_path / "prompts.txt"
+    prompts_file.write_text("\n".join(f"p{i}" for i in range(5)) + "\n")
+    out = tmp_path / "emb2"
+    from blade.cli import process_prompts, train
+
+    _run_cli(monkeypatch, process_prompts, [
+        "--input_file", str(prompts_file), "--output_dir", str(out),
+        "--family", "wan", "--tiny", "--random-init", "--batch_size", "5",
+    ])
+    _run_cli(monkeypatch, train, [
+        "--family", "wan", "--tiny", "--random-init",
+        "--prompt_embeds", str(out), "--batch_size", "3",
+        "--num_train_epochs", "1", "--checkpointing_steps", "10",
+        "--output_dir", str(tmp_path / "run2"),
+    ])
+    # 5 prompts / batch 3 -> ceil = 2 optimizer steps in one epoch
+    lines = (tmp_path / "run2" / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) == 2
 
 
 def test_sample_eval_cli(tmp_path, monkeypatch):
