@@ -67,6 +67,13 @@ def convert_wan_transformer(sd: Mapping[str, np.ndarray], cfg: WanConfig) -> Dic
         .reshape(1, 2, cfg.dim),
         "proj_out": _lin(sd, "proj_out"),
     }
+    if "condition_embedder.image_embedder.norm1.weight" in sd:
+        # I2V image-context embedder (diffusers WanImageEmbedding)
+        ie = "condition_embedder.image_embedder"
+        p["img_norm1"] = _norm(sd, f"{ie}.norm1")
+        p["img_ff_1"] = _lin(sd, f"{ie}.ff.net.0.proj")
+        p["img_ff_2"] = _lin(sd, f"{ie}.ff.net.2")
+        p["img_norm2"] = _norm(sd, f"{ie}.norm2")
     layers = []
     for i in range(cfg.num_layers):
         b = f"blocks.{i}"
@@ -88,6 +95,14 @@ def convert_wan_transformer(sd: Mapping[str, np.ndarray], cfg: WanConfig) -> Dic
                 "to_out": _lin(sd, f"{b}.attn2.to_out.0"),
                 "norm_q": _norm(sd, f"{b}.attn2.norm_q", "weight"),
                 "norm_k": _norm(sd, f"{b}.attn2.norm_k", "weight"),
+                **({
+                    # I2V added K/V projections (reference image branch,
+                    # modify_wan.py:121-126)
+                    "add_k_proj": _lin(sd, f"{b}.attn2.add_k_proj"),
+                    "add_v_proj": _lin(sd, f"{b}.attn2.add_v_proj"),
+                    "norm_added_k": _norm(sd, f"{b}.attn2.norm_added_k",
+                                          "weight"),
+                } if f"{b}.attn2.add_k_proj.weight" in sd else {}),
             },
             "norm3": _norm(sd, f"{b}.norm2"),
             "ffn": {

@@ -56,6 +56,13 @@ class WanConfig:
     patch_size: Tuple[int, int, int] = (1, 2, 2)
     eps: float = 1e-6
     cross_attn_norm: bool = True
+    # I2V variant: CLIP image-context features of this dim are projected
+    # and prepended to the text context; cross-attention runs a separate
+    # image branch through added K/V projections (reference
+    # modify_wan.py:88-91,118-135; diffusers Wan I2V `added_kv_proj_dim`).
+    # None = T2V (no image branch).
+    image_dim: Optional[int] = None
+    image_context_tokens: int = 257
 
     @property
     def head_dim(self) -> int:
@@ -103,30 +110,52 @@ class WanSelfAttention(nn.Module):
 
 
 class WanCrossAttention(nn.Module):
+    """Text cross-attention; with ``cfg.image_dim`` set, ``context`` is
+    ``[B, image_context_tokens + Lt, dim]`` (image features first) and a
+    separate image branch runs through added K/V projections, summed with
+    the text branch before the output projection — the reference I2V
+    semantics (modify_wan.py:88-91 split, :118-135 image branch + add)."""
+
     cfg: WanConfig
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x, context):
+    def _mha(self, q, k, v, b, l):
         c = self.cfg
-        b, l, _ = x.shape
-        lt = context.shape[1]
-        dense = lambda name: nn.Dense(
-            c.dim, dtype=self.dtype, param_dtype=jnp.float32, name=name
-        )
-        q = RMSNorm(eps=c.eps, name="norm_q")(dense("to_q")(x))
-        k = RMSNorm(eps=c.eps, name="norm_k")(dense("to_k")(context))
-        v = dense("to_v")(context)
-        q = q.reshape(b, l, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(b, lt, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(b, lt, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
-        # Text length is tiny (<=512): plain fused attention is MXU-optimal.
+        # Context length is tiny (<=512 text / 257 image): plain fused
+        # attention is MXU-optimal.
         s = jnp.einsum(
             "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
         ) / jnp.sqrt(jnp.float32(c.head_dim))
         p = jax.nn.softmax(s, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, l, c.dim).astype(self.dtype)
+        return out.transpose(0, 2, 1, 3).reshape(b, l, c.dim).astype(self.dtype)
+
+    @nn.compact
+    def __call__(self, x, context):
+        c = self.cfg
+        b, l, _ = x.shape
+        dense = lambda name: nn.Dense(
+            c.dim, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+
+        def heads(t):
+            return t.reshape(b, t.shape[1], c.num_heads, c.head_dim
+                             ).transpose(0, 2, 1, 3)
+
+        img = None
+        if c.image_dim is not None:
+            img = context[:, : c.image_context_tokens]
+            context = context[:, c.image_context_tokens:]
+
+        q = heads(RMSNorm(eps=c.eps, name="norm_q")(dense("to_q")(x)))
+        k = heads(RMSNorm(eps=c.eps, name="norm_k")(dense("to_k")(context)))
+        v = heads(dense("to_v")(context))
+        out = self._mha(q, k, v, b, l)
+        if img is not None:
+            k_img = heads(RMSNorm(eps=c.eps, name="norm_added_k")(
+                dense("add_k_proj")(img)))
+            v_img = heads(dense("add_v_proj")(img))
+            out = out + self._mha(q, k_img, v_img, b, l)
         return dense("to_out")(out)
 
 
@@ -201,9 +230,15 @@ class WanModel(nn.Module):
     token_perm: Optional[Tuple[Any, Any]] = None
 
     @nn.compact
-    def __call__(self, latents, timestep, text_embeds, attn_kwargs=None):
+    def __call__(self, latents, timestep, text_embeds, attn_kwargs=None,
+                 image_embeds=None):
         c = self.cfg
         attn_kwargs = attn_kwargs or {}
+        if (image_embeds is None) != (c.image_dim is None):
+            raise ValueError(
+                "image_embeds must be provided iff cfg.image_dim is set "
+                f"(got image_embeds={image_embeds is not None}, "
+                f"image_dim={c.image_dim})")
         b, ch, t, h, w = latents.shape
         pt, ph, pw = c.patch_size
         gt, gh, gw = t // pt, h // ph, w // pw
@@ -222,6 +257,23 @@ class WanModel(nn.Module):
         ctx = nn.gelu(ctx, approximate=True)
         ctx = nn.Dense(c.dim, dtype=self.dtype, param_dtype=jnp.float32,
                        name="text_proj_2")(ctx)
+        if image_embeds is not None:
+            # WanImageEmbedding (diffusers condition_embedder.image_embedder):
+            # LayerNorm(in) -> Linear(in,in) -> exact GELU -> Linear(in,dim)
+            # -> LayerNorm(dim), all f32; projected image tokens are
+            # PREPENDED to the text context (modify_wan.py:89 takes
+            # context[:, :257] as the image part).
+            ie = image_embeds.astype(jnp.float32)
+            ie = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                              name="img_norm1")(ie)
+            ie = nn.Dense(c.image_dim, dtype=jnp.float32,
+                          param_dtype=jnp.float32, name="img_ff_1")(ie)
+            ie = nn.gelu(ie, approximate=False)
+            ie = nn.Dense(c.dim, dtype=jnp.float32, param_dtype=jnp.float32,
+                          name="img_ff_2")(ie)
+            ie = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                              name="img_norm2")(ie)
+            ctx = jnp.concatenate([ie.astype(self.dtype), ctx], axis=1)
 
         # Time embedding + shared 6-way projection.
         temb = TimestepEmbedder(c.dim, freq_dim=c.freq_dim, name="time_embed")(

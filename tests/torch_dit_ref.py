@@ -56,15 +56,23 @@ class _RMSNorm(nn.Module):
 
 
 class _WanAttention(nn.Module):
-    def __init__(self, dim, heads):
+    def __init__(self, dim, heads, img_tokens=0):
         super().__init__()
         self.heads, self.dim = heads, dim
+        self.img_tokens = img_tokens
         self.to_q = nn.Linear(dim, dim)
         self.to_k = nn.Linear(dim, dim)
         self.to_v = nn.Linear(dim, dim)
         self.to_out = nn.ModuleList([nn.Linear(dim, dim)])
         self.norm_q = _RMSNorm(dim)
         self.norm_k = _RMSNorm(dim)
+        if img_tokens:
+            # reference I2V branch (modify_wan.py:88-91,118-135)
+            self.add_k_proj = nn.Linear(dim, dim)
+            self.add_v_proj = nn.Linear(dim, dim)
+            self.norm_added_k = _RMSNorm(dim)
+        else:
+            self.add_k_proj = None
 
     def _heads(self, t):
         b, l, _ = t.shape
@@ -72,6 +80,10 @@ class _WanAttention(nn.Module):
 
     def forward(self, x, context=None, rope=None):
         ctx = x if context is None else context
+        ctx_img = None
+        if context is not None and self.add_k_proj is not None:
+            ctx_img = ctx[:, : self.img_tokens]
+            ctx = ctx[:, self.img_tokens:]
         q = self.norm_q(self.to_q(x))
         k = self.norm_k(self.to_k(ctx))
         v = self.to_v(ctx)
@@ -81,17 +93,21 @@ class _WanAttention(nn.Module):
             q = apply_rope_torch(q, cos, sin)
             k = apply_rope_torch(k, cos, sin)
         out = attention(q, k, v)
+        if ctx_img is not None:
+            k_img = self._heads(self.norm_added_k(self.add_k_proj(ctx_img)))
+            v_img = self._heads(self.add_v_proj(ctx_img))
+            out = out + attention(q, k_img, v_img)
         b, h, l, d = out.shape
         out = out.transpose(1, 2).reshape(b, l, h * d)
         return self.to_out[0](out)
 
 
 class _WanBlock(nn.Module):
-    def __init__(self, dim, ffn_dim, heads, eps=1e-6):
+    def __init__(self, dim, ffn_dim, heads, eps=1e-6, img_tokens=0):
         super().__init__()
         self.scale_shift_table = nn.Parameter(torch.randn(1, 6, dim) * 0.02)
         self.attn1 = _WanAttention(dim, heads)
-        self.attn2 = _WanAttention(dim, heads)
+        self.attn2 = _WanAttention(dim, heads, img_tokens=img_tokens)
         self.norm2 = nn.LayerNorm(dim, eps=eps, elementwise_affine=True)
         self.ffn = nn.Module()
         self.ffn.net = nn.ModuleList()
@@ -133,9 +149,24 @@ class TorchWanRef(nn.Module):
         ce.time_embedder.linear_1 = nn.Linear(cfg.freq_dim, d)
         ce.time_embedder.linear_2 = nn.Linear(d, d)
         ce.time_proj = nn.Linear(d, 6 * d)
+        img_tokens = 0
+        if getattr(cfg, "image_dim", None):
+            # diffusers WanImageEmbedding: LN(in) -> Linear(in,in) -> GELU
+            # -> Linear(in,dim) -> LN(dim)
+            im = nn.Module()
+            im.norm1 = nn.LayerNorm(cfg.image_dim, eps=1e-5)
+            ff = nn.Module()
+            proj = nn.Module()
+            proj.proj = nn.Linear(cfg.image_dim, cfg.image_dim)
+            ff.net = nn.ModuleList([proj, nn.GELU(), nn.Linear(cfg.image_dim, d)])
+            im.ff = ff
+            im.norm2 = nn.LayerNorm(d, eps=1e-5)
+            ce.image_embedder = im
+            img_tokens = cfg.image_context_tokens
         self.condition_embedder = ce
         self.blocks = nn.ModuleList([
-            _WanBlock(d, cfg.ffn_dim, cfg.num_heads, cfg.eps)
+            _WanBlock(d, cfg.ffn_dim, cfg.num_heads, cfg.eps,
+                      img_tokens=img_tokens)
             for _ in range(cfg.num_layers)
         ])
         self.scale_shift_table = nn.Parameter(torch.randn(1, 2, d) * 0.02)
@@ -143,7 +174,7 @@ class TorchWanRef(nn.Module):
             d, int(np.prod(cfg.patch_size)) * cfg.out_channels
         )
 
-    def forward(self, latents, timestep, text):
+    def forward(self, latents, timestep, text, image_embeds=None):
         c = self.cfg
         b, _, t, h, w = latents.shape
         pt, ph, pw = c.patch_size
@@ -153,6 +184,12 @@ class TorchWanRef(nn.Module):
         ce = self.condition_embedder
         ctx = ce.text_embedder.linear_2(
             F.gelu(ce.text_embedder.linear_1(text), approximate="tanh"))
+        if image_embeds is not None:
+            im = ce.image_embedder
+            ie = im.norm1(image_embeds.float())
+            ie = im.ff.net[2](F.gelu(im.ff.net[0].proj(ie)))
+            ie = im.norm2(ie)
+            ctx = torch.cat([ie, ctx], dim=1)
         temb = ce.time_embedder.linear_2(
             F.silu(ce.time_embedder.linear_1(sinusoidal(timestep, c.freq_dim))))
         temb6 = ce.time_proj(F.silu(temb)).view(b, 6, c.dim)
