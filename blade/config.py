@@ -138,3 +138,5 @@ COGVIDEOX_TINY_PRESET = FamilyPreset(
     max_text_len=16, video=VideoSpec(5, 32, 32, fps=4), sample_gap=4,
     max_retain_ratio=1.0, min_retain_ratio=0.25, joint_text_attention=True,
 )
+PRESETS["wan-tiny"] = WAN_TINY_PRESET
+PRESETS["cogvideox-tiny"] = COGVIDEOX_TINY_PRESET
