@@ -308,26 +308,29 @@ def multilevel_lists(
     ``n_k`` + four sorts of band width replaces five ``n_k``-wide
     argsorts + scatters (~8 ms cheaper at CogVideoX geometry).
 
-    Forcing semantics: with ``force_last2`` the last two key blocks are
-    promoted to level 1 by boosting their scores above the rest *before*
-    ranking — identical to ``multilevel_mask`` on the boosted scores
-    whenever the level-1 band covers at least two ranks; other columns'
-    bands shift by at most two ranks vs. the post-hoc overwrite (reference
-    ``cogvideo_newattn.py:154-207``).  The last two query rows attend at
-    level 1 to every block, exactly as in ``multilevel_mask``.
+    Forcing semantics (exact reference parity): bands come from the
+    UNMODIFIED score ranking; the last two key blocks are then overwritten
+    to level 1 — removed from whichever band they ranked into and appended
+    to the level-1 list (the post-hoc ``mask[..., -2:] = 1`` of
+    ``cogvideo_newattn.py:154-207``; equals ``multilevel_mask`` +
+    per-level ``mask_to_block_lists`` bit for bit).  Since ``n_k - 2`` and
+    ``n_k - 1`` exceed every other index, appending them keeps the
+    level-1 list ascending; removals inside a band are compacted by the
+    band sort (removed entries become > n_k sentinels, clamped to
+    ``n_k - 1`` after sorting so padding stays DMA-safe).  The last two
+    query rows attend at level 1 to every block, exactly as in
+    ``multilevel_mask``.
 
     Returns ``(idx, counts)``: ``idx`` int32 ``[..., n_q, 4, cap]``
-    (levels 1, 2, 4, 8, each ascending, tail padded with its last valid
-    entry); ``counts`` int32 ``[..., n_q, 4]``.
+    (levels 1, 2, 4, 8, each ascending, tail padded with in-range
+    duplicates); ``counts`` int32 ``[..., n_q, 4]``.
     """
     if mask_ratios is None:
         mask_ratios = DEFAULT_MASK_RATIOS
     n_q, n_k = scores.shape[-2], scores.shape[-1]
     if cap is None:
         cap = n_k
-    if force_last2:
-        top = jnp.max(scores, axis=-1, keepdims=True)
-        scores = scores.at[..., -2:].set(top + 1.0)
+    sentinel = n_k + 2
     order = jnp.argsort(-scores, axis=-1, stable=True).astype(jnp.int32)
     row = jnp.arange(n_q, dtype=jnp.int32)
     forced_row = (row >= n_q - 2) if force_last2 else jnp.zeros((n_q,), bool)
@@ -336,18 +339,43 @@ def multilevel_lists(
     for level in (1, 2, 4, 8):
         lo, hi = mask_ratios.get(level, (0.0, 0.0))
         lo_i, hi_i = max(0, int(n_k * lo)), min(n_k, int(n_k * hi))
-        width = min(max(hi_i - lo_i, 0), cap)
+        budget = cap - (2 if (level == 1 and force_last2) else 0)
+        width = min(max(hi_i - lo_i, 0), budget)
+        cnt = jnp.full(scores.shape[:-1], width, jnp.int32)
         if width:
-            asc = jnp.sort(order[..., lo_i:lo_i + width], axis=-1)
-            if cap > width:
+            band = order[..., lo_i:lo_i + width]
+            if force_last2:
+                is_forced = band >= n_k - 2
+                band = jnp.where(is_forced, sentinel, band)
+                cnt = cnt - is_forced.sum(-1)
+            if level == 1 and force_last2:
+                # overwrite: the two forced columns always attend at full
+                # resolution; they are the largest indices so the tail
+                # append keeps ascending order after the sort
+                band = jnp.concatenate(
+                    [band,
+                     jnp.broadcast_to(
+                         jnp.arange(n_k - 2, n_k, dtype=jnp.int32),
+                         (*band.shape[:-1], 2))],
+                    axis=-1)
+                cnt = cnt + 2
+            asc = jnp.minimum(jnp.sort(band, axis=-1), n_k - 1)
+            if cap > asc.shape[-1]:
                 asc = jnp.concatenate(
                     [asc,
                      jnp.broadcast_to(asc[..., -1:],
-                                      (*asc.shape[:-1], cap - width))],
+                                      (*asc.shape[:-1],
+                                       cap - asc.shape[-1]))],
                     axis=-1)
+        elif level == 1 and force_last2:
+            asc = jnp.broadcast_to(
+                jnp.minimum(
+                    jnp.arange(n_k - 2, n_k - 2 + cap, dtype=jnp.int32),
+                    n_k - 1),
+                (*scores.shape[:-1], cap)).astype(jnp.int32)
+            cnt = cnt + 2
         else:
             asc = jnp.zeros((*scores.shape[:-1], cap), jnp.int32)
-        cnt = jnp.full(scores.shape[:-1], width, jnp.int32)
         if level == 1:
             asc = jnp.where(forced_row[:, None], full_row, asc)
             cnt = jnp.where(forced_row, min(n_k, cap), cnt)
