@@ -233,7 +233,17 @@ def adaptive_sparse_attention(
     if mask is None:
         mask = compute_mask(rng, q, k, cfg)
 
-    out1, lse1 = block_sparse_attention(q, k, v, mask, interpret=interpret)
+    # The energy clamp statically bounds every non-forced row's selection
+    # at ceil(n_k * max_retain) + 2 forced columns; the union of two such
+    # rows at twice that.  Rows above the bound are the forced fully-on
+    # last-2 query rows — exactly the contract union_block_lists' bounded
+    # top_k lane needs (cuts the mask->lists argsort glue).
+    n_k = mask.shape[-1]
+    union_bound = 2 * (max(int(n_k * cfg.max_retain_ratio), 1) + 2)
+
+    out1, lse1 = block_sparse_attention(
+        q, k, v, mask, interpret=interpret,
+        union_bound=union_bound if union_bound < n_k else None)
 
     # Low-res global branch: sample_gap-mean-pooled K/V with +log(gap) bias
     # (each pooled key stands in for `gap` keys).  sum * 1/gap lowers to a

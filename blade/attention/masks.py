@@ -420,13 +420,28 @@ def mask_density(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(mask.astype(jnp.float32))
 
 
-def union_block_lists(mask: jnp.ndarray, group: int = 2, max_blocks: int | None = None):
+def union_block_lists(
+    mask: jnp.ndarray,
+    group: int = 2,
+    max_blocks: int | None = None,
+    bound: int | None = None,
+):
     """Union key-block lists over groups of ``group`` adjacent mask rows.
 
     For a 256-row query tile covering two 128-row mask rows, the kernel
     gathers each key block once and applies per-row validity, halving K/V
     traffic when adjacent rows select overlapping blocks (which the Gilbert
     reordering encourages).
+
+    ``bound``: static per-union-row selection bound for all
+
+    non-full rows (e.g. ``group * (ceil(n_k * max_retain) + 2)`` under the
+    energy clamp).  When given, the ``n_k``-wide argsort is replaced by one
+    ``top_k`` of that width (TPU sorts are expensive — the energy-mask
+    top-k lesson); any row whose union EXCEEDS the bound must be a fully-on
+    row (true for energy masks: only the forced last-2 query rows exceed
+    the clamp) and is rewritten as the identity list.  Output width stays
+    ``n_k`` either way; only the sort shrinks.
 
     Returns ``(indices [..., n_q/group, max_u], counts [..., n_q/group],
     valbits [..., n_q/group, max_u] int32)`` where bit ``r`` of ``valbits``
@@ -436,7 +451,24 @@ def union_block_lists(mask: jnp.ndarray, group: int = 2, max_blocks: int | None 
     assert n_q % group == 0
     m = mask.reshape(*lead, n_q // group, group, n_k)
     union = jnp.any(m, axis=-2)
-    idx, counts = mask_to_block_lists(union, max_blocks)
+    if bound is not None and bound < n_k and max_blocks is None:
+        iota = jnp.arange(n_k, dtype=jnp.int32)
+        counts = jnp.sum(union, axis=-1).astype(jnp.int32)
+        # selected blocks first, both segments ascending by block id
+        key = jnp.where(union, 2 * n_k - iota, n_k - iota)
+        _, sel = jax.lax.top_k(key, bound)
+        sel = sel.astype(jnp.int32)
+        pos = jnp.arange(bound, dtype=jnp.int32)
+        cl = jnp.minimum(counts, bound)[..., None]
+        last = jnp.take_along_axis(sel, jnp.maximum(cl - 1, 0), axis=-1)
+        sel = jnp.where(pos < cl, sel, last)
+        if n_k > bound:
+            sel = jnp.concatenate(
+                [sel, jnp.broadcast_to(last, (*sel.shape[:-1], n_k - bound))],
+                axis=-1)
+        idx = jnp.where((counts > bound)[..., None], iota, sel)
+    else:
+        idx, counts = mask_to_block_lists(union, max_blocks)
     # Validity bits: gather each row's mask at the union indices.
     bits = jnp.zeros(idx.shape, jnp.int32)
     for r in range(group):

@@ -898,7 +898,7 @@ def _dense_tiles(lq, lk):
 
 
 def _fwd_call(q, k, v, lists, *, scale, bias, kv_valid_len, q_block, kv_tile,
-              interpret):
+              interpret, union_bound=None):
     bh, lq, d = q.shape
     lk_pad = k.shape[1]
     n_qt = lq // q_block
@@ -947,7 +947,8 @@ def _fwd_call(q, k, v, lists, *, scale, bias, kv_valid_len, q_block, kv_tile,
     # selections, validity bits packed above the 16-bit block index.
     from blade.attention.masks import union_block_lists
 
-    u_idx, u_cnt, u_bits = union_block_lists(mask, group=QGROUP)
+    u_idx, u_cnt, u_bits = union_block_lists(
+        mask, group=QGROUP, bound=union_bound)
     fused = (u_idx | (u_bits << 16)).astype(jnp.int32)
     fused4, u_cnt = _tile_lists(fused, u_cnt)
     if fused4.shape[-1] % GROUP:
@@ -1189,16 +1190,17 @@ def _lists_from_mask(mask):
 
 
 def _attn_core_fwd(q, k, v, mask, scale, bias, q_block, kv_tile, kv_valid_len,
-                   interpret):
+                   interpret, union_bound=None):
     out, lse = _fwd_call(
         q, k, v, mask,
         scale=scale, bias=bias, kv_valid_len=kv_valid_len, q_block=q_block,
-        kv_tile=kv_tile, interpret=interpret,
+        kv_tile=kv_tile, interpret=interpret, union_bound=union_bound,
     )
     return (out, lse), (q, k, v, mask, out, lse)
 
 
-def _attn_core_bwd(scale, bias, q_block, kv_tile, kv_valid_len, interpret, res, g):
+def _attn_core_bwd(scale, bias, q_block, kv_tile, kv_valid_len, interpret,
+                   union_bound, res, g):
     q, k, v, mask, out, lse = res
     g_out, g_lse = g
     lists, t_lists = _lists_from_mask(mask)
@@ -1212,11 +1214,11 @@ def _attn_core_bwd(scale, bias, q_block, kv_tile, kv_valid_len, interpret, res, 
     return dq, dk, dv, dmask
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _attn_with_lse(q, k, v, mask, scale, bias, q_block, kv_tile, kv_valid_len,
-                   interpret):
+                   interpret, union_bound=None):
     (out, lse), _ = _attn_core_fwd(q, k, v, mask, scale, bias, q_block, kv_tile,
-                                   kv_valid_len, interpret)
+                                   kv_valid_len, interpret, union_bound)
     return out, lse
 
 
@@ -1233,6 +1235,7 @@ def block_sparse_attention(
     bias: float = 0.0,
     q_block: int = DEFAULT_Q_BLOCK,
     interpret: Optional[bool] = None,
+    union_bound: Optional[int] = None,
 ):
     """Block-sparse flash attention with LSE.
 
@@ -1245,6 +1248,9 @@ def block_sparse_attention(
       bias: scalar added to every score (e.g. ``log(level)`` for pooled
         branches).
       q_block: query tile rows (the mask's row granularity).
+      union_bound: static bound on every non-full union row's selection
+        (see ``masks.union_block_lists``) — rows above it must be fully on.
+        Cuts the mask->lists glue from an n_k argsort to one bounded top_k.
 
     Returns:
       ``(out [B, H, Lq, D], lse [B, H, Lq])`` — lse in natural log.
@@ -1297,7 +1303,7 @@ def block_sparse_attention(
             lq_pad += q_block
 
     out, lse = _attn_with_lse(qp, kp, vp, mask, scale, bias, q_block, kv_tile,
-                              lk, interpret)
+                              lk, interpret, union_bound)
     out = out.reshape(b, h, lq_pad, d)[:, :, :lq, :d_orig]
     lse = lse.reshape(b, h, lq_pad)[:, :, :lq]
     return out, lse

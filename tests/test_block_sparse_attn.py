@@ -53,6 +53,30 @@ def test_sparse_mask_matches_masked_reference():
     np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=1e-5, rtol=1e-5)
 
 
+def test_union_bound_matches_unbounded():
+    """union_bound (the energy-clamp glue fast lane) is a pure glue
+    optimization: identical output to the unbounded path, including
+    forced fully-on rows above the bound."""
+    from blade.attention.masks import energy_mask
+
+    nk = 16
+    q, k, v = _rand_qkv(jax.random.PRNGKey(9), lq=1024, lk=nk * 128)
+    scores = jax.random.uniform(jax.random.PRNGKey(10), (1, 2, 8, nk))
+    mask = energy_mask(scores, min_retain_ratio=0.125, max_retain_ratio=0.25)
+    bound = 2 * (int(nk * 0.25) + 2)  # the clamp bound asa.py derives (12)
+    # precondition of the lane: every union row above the bound is full
+    union = np.asarray(mask).reshape(2, 4, 2, nk).any(axis=2)
+    counts = union.sum(-1)
+    assert ((counts <= bound) | (counts == nk)).all(), counts
+    out_b, lse_b = block_sparse_attention(
+        q, k, v, mask, interpret=True, union_bound=bound)
+    out_u, lse_u = block_sparse_attention(q, k, v, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_u),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse_b), np.asarray(lse_u),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_bias_shifts_lse():
     q, k, v = _rand_qkv(jax.random.PRNGKey(4), lq=128, lk=128)
     out0, lse0 = flash_attention(q, k, v, interpret=True)

@@ -192,6 +192,26 @@ def test_union_block_lists():
             np.testing.assert_array_equal((bb >> 1) & 1, r1[union].astype(int))
 
 
+def test_union_block_lists_bounded_lane_matches_argsort():
+    """The bounded top_k lane == the argsort formulation on energy masks
+    (whose clamp provides the bound), including the forced full rows."""
+    rng = jax.random.PRNGKey(33)
+    nk = 64
+    scores = _rand_scores(rng, b=1, h=3, nq=16, nk=nk)
+    mask = M.energy_mask(scores, min_retain_ratio=0.05, max_retain_ratio=0.2)
+    bound = 2 * (int(nk * 0.2) + 2)
+    idx_b, cnt_b, bits_b = M.union_block_lists(mask, group=2, bound=bound)
+    idx_r, cnt_r, bits_r = M.union_block_lists(mask, group=2)
+    np.testing.assert_array_equal(np.asarray(cnt_b), np.asarray(cnt_r))
+    c = np.asarray(cnt_r)
+    a, b = np.asarray(idx_b), np.asarray(idx_r)
+    ab, bb = np.asarray(bits_b), np.asarray(bits_r)
+    for pos in np.ndindex(*c.shape):
+        n = c[pos]
+        np.testing.assert_array_equal(a[pos][:n], b[pos][:n], err_msg=str(pos))
+        np.testing.assert_array_equal(ab[pos][:n], bb[pos][:n])
+
+
 def test_energy_mask_topk_fast_path_equals_argsort():
     """Scalar-ratio fast path must equal the argsort formulation."""
     rng = jax.random.PRNGKey(31)
