@@ -21,6 +21,8 @@ blade/utils/profiling.py).
 import dataclasses
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -47,7 +49,25 @@ def peaked_qkv(key, b, h, l, d, n_clusters=64):
 
 
 def bench_e2e():
-    """End-to-end 8-step Wan-1.3B 480p on the chip (VERDICT r2 item 1).
+    """End-to-end 8-step Wan-1.3B 480p (VERDICT r2 item 1) — run in a
+    SUBPROCESS: the full-model runs need the whole chip HBM (the kernel
+    benches above hold ~2 GB of live tensors), and a poisoned runtime from
+    a failed full-model dispatch must not kill the headline metrics."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--e2e"],
+        capture_output=True, text=True, timeout=4800,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    tail = (proc.stdout + proc.stderr)[-300:]
+    return {"e2e_error": f"subprocess rc={proc.returncode}: {tail}"}
+
+
+def bench_e2e_impl():
+    """The actual e2e measurement (runs as ``bench.py --e2e``).
 
     Host-driven per-step jit (``wan_stepper``) keeps each compile unit to
     one DiT forward + UniPC glue — the monolithic 8-step scan breaks the
@@ -59,6 +79,8 @@ def bench_e2e():
     throughput vs the 50-step dense baseline (both including the streamed
     VAE decode).
     """
+    import gc
+
     from blade.config import WAN_480P
     from blade.sampling.pipeline import wan_stepper
     from blade.sampling.t2v import T2VPipeline
@@ -70,24 +92,53 @@ def bench_e2e():
     out = {}
     step_ms = {}
     latents = None
+    pipe = None
     for sparse in (True, False):
+        # Free the previous pipeline BEFORE initializing the next: two f32
+        # param trees plus compile workspace exhaust the 16 GB chip.
+        if pipe is not None:
+            pipe.dit_params = None
+            dit_params = jstep = state = None
+            gc.collect()
         pipe = T2VPipeline.random_init(
             WAN_480P, rng, sparse=sparse, mask_mode="energy",
             with_text_encoder=False, interpret=False)
-        init, step = wan_stepper(pipe.model_fn(), num_steps=8)
-        jstep = jax.jit(step, donate_argnums=0)
+
+        # Serving dtype: bf16 weights (halves HBM + weight-load bandwidth;
+        # the model computes in bf16 regardless).  Drop the f32 init tree.
+        dit_params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, pipe.dit_params)
+        pipe.dit_params = None
+        gc.collect()
+
+        # params enter as jit ARGUMENTS — a closure would bake the
+        # parameter tree into the program as lowering constants
+        def step_p(params, state, i, te, r, pipe=pipe):
+            def mf(x, tt, tee, rr):
+                return pipe.dit.apply(params, x, tt, tee,
+                                      attn_kwargs={"rng": rr})
+
+            _, st = wan_stepper(mf, num_steps=8)
+            return st(state, i, te, r)
+
+        # NO buffer donation: donated executables fail at dispatch on the
+        # tunneled runtime (INVALID_ARGUMENT) and poison the process — the
+        # UniPC state is ~25 MB, donation buys nothing here anyway.
+        init, _ = wan_stepper(lambda *a: None, num_steps=8)
+        jstep = jax.jit(step_p)
         noise = jax.random.normal(
             jax.random.fold_in(rng, 2), pipe.latent_shape(1), jnp.float32
         ).astype(pipe.dtype)
-        state = jstep(init(noise), jnp.asarray(0), embeds, rng)  # compile
-        jax.device_get(state.x)
+        state = jstep(dit_params, init(noise), jnp.asarray(0), embeds, rng)
+        jax.device_get(state.x)  # compile + first run
 
         runs = []
         for _ in range(3):
             state = init(noise)
             t0 = time.perf_counter()
             for i in range(8):
-                state = jstep(state, jnp.asarray(i), embeds, rng)
+                state = jstep(dit_params, state, jnp.asarray(i), embeds, rng)
             jax.device_get(state.x)
             runs.append(time.perf_counter() - t0)
         name = "sparse" if sparse else "dense"
@@ -98,6 +149,8 @@ def bench_e2e():
 
     # streamed VAE decode (2-program chunk loop, on the last-built pipe's
     # random VAE params); time the warm pass
+    dit_params = jstep = state = None
+    gc.collect()
     frames = pipe.decode_latents(latents.astype(pipe.dtype))
     jax.device_get(frames)  # compile + first run
     t0 = time.perf_counter()
@@ -257,4 +310,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--e2e" in sys.argv:
+        from blade.utils.compile_cache import enable as _enable_cache
+
+        _enable_cache()
+        print(json.dumps(bench_e2e_impl()))
+    else:
+        main()

@@ -32,7 +32,11 @@ import jax.numpy as jnp
 
 from blade.attention import gilbert
 from blade.attention import masks as M
-from blade.kernels.block_sparse_attn import block_sparse_attention, flash_attention
+from blade.kernels.block_sparse_attn import (
+    block_sparse_attention,
+    flash_attention,
+    flash_attention_wide_v,
+)
 from blade.kernels.multilevel_attn import multilevel_attention
 from blade.kernels.ref_attention import merge_attention
 
@@ -122,23 +126,21 @@ def predict_block_scores(
 
     if cfg.predictor == "sum":
         # Row-softmax mass pooled per key block: exactly flash attention
-        # with a one-hot block-pooling matrix as V (pure MXU work; V is
-        # split into head_dim-wide column chunks to fit the kernel).
+        # with a one-hot block-pooling matrix as V.  The pooling V is
+        # lane-padded to a 128 multiple so ONE pass covers every key block
+        # (the kernel's V width is independent of Q/K's head dim) — the
+        # former head_dim-wide chunking recomputed the full softmax
+        # ceil(n_k / d) times.
         b, h, ls, d = k_s.shape
         nq = qp.shape[2] // cfg.block_size
         nk = kp.shape[2] // cfg.block_size
         tokens = cfg.sample_tokens_per_block
-        outs = []
-        for c0 in range(0, nk, d):
-            w = min(d, nk - c0)
-            # one-hot columns padded to the kernel's feature width d
-            pool = jax.nn.one_hot(
-                jnp.arange(ls) // tokens - c0, d, dtype=k_s.dtype
-            )
-            pool = jnp.broadcast_to(pool, (b, h, ls, d))
-            o, _ = flash_attention(q_s, k_s, pool, scale=scale)
-            outs.append(o[..., :w])
-        out = jnp.concatenate(outs, -1) if len(outs) > 1 else outs[0]
+        nk_pad = max(128, -(-nk // 128) * 128)
+        pool = jax.nn.one_hot(
+            jnp.arange(ls) // tokens, nk_pad, dtype=k_s.dtype)
+        pool = jnp.broadcast_to(pool, (b, h, ls, nk_pad))
+        out, _ = flash_attention_wide_v(q_s, k_s, pool, scale=scale)
+        out = out[..., :nk]
         return out.reshape(b, h, nq, tokens, nk).mean(3).astype(jnp.float32)
 
     from blade.kernels.pooled_predictor import pooled_scores_kernel_call

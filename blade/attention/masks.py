@@ -81,7 +81,15 @@ def sample_block_tokens(
     scores = jax.random.uniform(rng, (b, h, block))
     _, offs = jax.lax.top_k(scores, num_keep)  # [B, H, num_keep]
     xb = x.reshape(b, h, nblk, block, d)
-    sampled = jnp.take_along_axis(xb, offs[:, :, None, :, None], axis=3)
+    # Row selection as a one-hot matmul instead of a gather: XLA lowers
+    # per-(B, H) take_along_axis on the sublane axis to a serial gather loop
+    # on TPU (~10 ms at cog geometry); the equivalent [num_keep, block]
+    # one-hot contraction is ~2 GFLOP of MXU work and bit-exact (each output
+    # row is 1.0 * one input row accumulated once).
+    onehot = jax.nn.one_hot(offs, block, dtype=x.dtype)  # [B, H, keep, block]
+    sampled = jnp.einsum(
+        "bhst,bhntd->bhnsd", onehot, xb,
+        preferred_element_type=jnp.float32).astype(x.dtype)
     return sampled.reshape(b, h, nblk * num_keep, d)
 
 

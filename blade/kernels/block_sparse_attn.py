@@ -882,8 +882,11 @@ def _dense_tiles(lq, lk):
             return padded128
         # Widest tile whose padding waste stays under ~12.5% (tile width
         # buys far more than a few percent of padded compute).  Short
-        # sequences take a single full-width tile.
-        if padded128 <= 2 * pref:
+        # sequences take a single full-width tile — capped at 1280: tiles
+        # much wider than pref make the (q_tile, kv_tile) f32 score
+        # intermediate blow past the Mosaic compiler's budget (2048-square
+        # fails to compile on v5e).
+        if padded128 <= min(2 * pref, 1280):
             return padded128
         best = 128
         t = 128
@@ -906,30 +909,31 @@ def _fwd_call(q, k, v, lists, *, scale, bias, kv_valid_len, q_block, kv_tile,
 
     if lists is None:  # dense
         n_kt = lk_pad // kv_tile
+        dv = v.shape[-1]  # may differ from d (wide one-hot pooling V)
         out, lse8 = pl.pallas_call(
             functools.partial(_dense_fwd_kernel, **kw),
             grid=(bh, n_qt, n_kt),
             in_specs=[
                 pl.BlockSpec((1, q_block, d), lambda b, i, j: (b, i, 0)),
                 pl.BlockSpec((1, kv_tile, d), lambda b, i, j: (b, j, 0)),
-                pl.BlockSpec((1, kv_tile, d), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, kv_tile, dv), lambda b, i, j: (b, j, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, q_block, d), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, q_block, dv), lambda b, i, j: (b, i, 0)),
                 pl.BlockSpec((1, 8, q_block), lambda b, i, j: (b, 0, i)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, lq, dv), q.dtype),
                 jax.ShapeDtypeStruct((bh, 8, lq), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((q_block, 128), jnp.float32),
                 pltpu.VMEM((q_block, 128), jnp.float32),
-                pltpu.VMEM((q_block, d), jnp.float32),
+                pltpu.VMEM((q_block, dv), jnp.float32),
             ],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=4 * bh * lq * lk_pad * d,
+                flops=2 * bh * lq * lk_pad * (d + dv),
                 bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
                 transcendentals=bh * lq * lk_pad,
             ),
@@ -1323,6 +1327,52 @@ def flash_attention(
     return block_sparse_attention(
         q, k, v, None, scale=scale, bias=bias, q_block=q_block, interpret=interpret
     )
+
+
+def flash_attention_wide_v(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    bias: float = 0.0,
+    interpret: Optional[bool] = None,
+):
+    """Forward-only dense flash whose V feature width is independent of Q/K's.
+
+    Used by the sum predictor: V is a one-hot block-pooling matrix of width
+    ``n_k_blocks`` (lane-padded), so ONE pass yields all pooled block masses
+    instead of ``ceil(n_k / d)`` full softmax recomputations.  Not
+    differentiable (the predictor runs under ``stop_gradient``).
+
+    Returns ``(out [B, H, Lq, Dv], lse [B, H, Lq])``.
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    dv = v.shape[3]
+    assert v.shape[2] == lk and dv % 128 == 0, (v.shape, lk)
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d))
+    if interpret is None:
+        interpret = _interpret_default()
+    q_block, kv_tile = _dense_tiles(lq, lk)
+    lq_pad = _pad_len(lq, q_block)
+    lk_pad = _pad_len(lk, kv_tile)
+
+    def pad_seq(t, n):
+        return (jnp.pad(t, ((0, 0), (0, 0), (0, n - t.shape[2]), (0, 0)))
+                if n != t.shape[2] else t)
+
+    qp = pad_seq(q, lq_pad).reshape(b * h, lq_pad, d)
+    kp = pad_seq(k, lk_pad).reshape(b * h, lk_pad, d)
+    vp = pad_seq(v, lk_pad).reshape(b * h, lk_pad, dv)
+    out, lse = _fwd_call(
+        qp, kp, vp, None, scale=scale, bias=bias, kv_valid_len=lk,
+        q_block=q_block, kv_tile=kv_tile, interpret=interpret,
+    )
+    out = out.reshape(b, h, lq_pad, dv)[:, :, :lq]
+    lse = lse.reshape(b, h, lq_pad)[:, :, :lq]
+    return out, lse
 
 
 def gather_backward(

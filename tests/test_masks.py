@@ -115,6 +115,24 @@ def test_sample_block_tokens_shapes_and_membership():
                     assert tuple(r) in src
 
 
+def test_sample_block_tokens_matches_gather_exactly():
+    # The one-hot matmul lane must reproduce take_along_axis bit-for-bit
+    # (each output row is 1.0 * one input row, accumulated once).
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jax.random.normal(
+            jax.random.PRNGKey(8), (2, 3, 384, 16)).astype(dtype)
+        rng = jax.random.PRNGKey(9)
+        s = M.sample_block_tokens(rng, x, block=128, num_keep=16)
+        scores = jax.random.uniform(rng, (2, 3, 128))
+        _, offs = jax.lax.top_k(scores, 16)
+        xb = x.reshape(2, 3, 3, 128, 16)
+        ref = jnp.take_along_axis(
+            xb, offs[:, :, None, :, None], axis=3).reshape(2, 3, 48, 16)
+        assert s.dtype == x.dtype
+        np.testing.assert_array_equal(np.asarray(s, np.float32),
+                                      np.asarray(ref, np.float32))
+
+
 def test_pooled_scores_rows_normalized_and_pick_signal():
     rng = jax.random.PRNGKey(7)
     b, h, nq, nk, tpb, d = 1, 2, 4, 4, 8, 16
