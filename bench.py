@@ -148,20 +148,32 @@ def bench_e2e_impl():
             latents = state.x
 
     # streamed VAE decode (2-program chunk loop, on the last-built pipe's
-    # random VAE params); time the warm pass
+    # random VAE params); time the warm pass.  Completion is synced with a
+    # jitted on-device checksum: device_get of the f32 frames would charge
+    # the dev tunnel's ~5 MB/s host link (80+ s for 370 MB) to the decode.
+    # The host pull is timed separately on the uint8 frames (the export
+    # dtype; 4x smaller) — on production PCIe it is milliseconds.
     dit_params = jstep = state = None
     gc.collect()
+    checksum = jax.jit(lambda f: jnp.mean(f.astype(jnp.float32)))
     frames = pipe.decode_latents(latents.astype(pipe.dtype))
-    jax.device_get(frames)  # compile + first run
+    jax.device_get(checksum(frames))  # compile + first run
     t0 = time.perf_counter()
     frames = pipe.decode_latents(latents.astype(pipe.dtype))
-    jax.device_get(frames)
+    jax.device_get(checksum(frames))
     t_dec = time.perf_counter() - t0
+
+    u8 = pipe.frames_to_uint8(frames)
+    jax.device_get(checksum(u8))  # compile conversion outside the fetch
+    t0 = time.perf_counter()
+    host_frames = jax.device_get(pipe.frames_to_uint8(frames))
+    t_fetch = time.perf_counter() - t0
 
     sparse_clip_s = out["e2e_denoise8_sparse_s"] + t_dec
     dense50_clip_s = 50 * step_ms["dense"] / 1e3 + t_dec
     out.update({
         "e2e_decode_s": round(t_dec, 3),
+        "e2e_fetch_uint8_s_tunnel": round(t_fetch, 3),
         "e2e_sparse_step_ms": round(step_ms["sparse"], 1),
         "e2e_dense_step_ms": round(step_ms["dense"], 1),
         "e2e_clip_s_8step_sparse": round(sparse_clip_s, 3),

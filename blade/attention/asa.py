@@ -215,9 +215,19 @@ def adaptive_sparse_attention(
             n_kt = -(-k.shape[2] // KV_BLOCK)
             cap = -(-n_kt // 128) * 128
             lists = M.multilevel_lists(scores, cfg.mask_ratios, cap=cap)
+            # Rank-band widths are static, so each pooled level's MXU tile
+            # can be sized to its band (the default tile widths waste up to
+            # ~45% of the level-8 exp+matmul on masked tail columns).
+            from blade.kernels.multilevel_attn import POOLED_TILE
+
+            bands = M.multilevel_rank_bands(n_kt, cfg.mask_ratios)
+            tiles = tuple(
+                max(128, min(POOLED_TILE[lv],
+                             -(-(bands[lv][1] * (128 // lv)) // 128) * 128))
+                for lv in (2, 4, 8))
             out, _ = multilevel_attention(
                 q, k, v, None, lists=lists, interpret=interpret,
-                q_rows=cfg.multilevel_q_rows)
+                q_rows=cfg.multilevel_q_rows, pooled_tiles=tiles)
         else:
             # compute_mask / replayed masks carry their row granularity in
             # their shape: q_rows = ceil(n_128_rows / n_mask_rows) * 128.

@@ -43,6 +43,7 @@ __all__ = [
     "energy_mask",
     "topk_mask",
     "multilevel_mask",
+    "multilevel_rank_bands",
     "mask_to_block_lists",
     "mask_density",
 ]
@@ -300,6 +301,24 @@ def multilevel_mask(
     return levels
 
 
+def multilevel_rank_bands(
+    n_k: int, mask_ratios: Dict[int, Tuple[float, float]] | None = None
+) -> Dict[int, Tuple[int, int]]:
+    """Static ``level -> (band_start, band_width)`` over a descending score
+    ranking of ``n_k`` key blocks — the rank bands of :func:`multilevel_mask`
+    / :func:`multilevel_lists` (every non-forced row selects exactly
+    ``band_width`` blocks per level, a compile-time constant the fused
+    kernel uses to size its per-level MXU tiles)."""
+    if mask_ratios is None:
+        mask_ratios = DEFAULT_MASK_RATIOS
+    bands = {}
+    for level in (1, 2, 4, 8):
+        lo, hi = mask_ratios.get(level, (0.0, 0.0))
+        lo_i, hi_i = max(0, int(n_k * lo)), min(n_k, int(n_k * hi))
+        bands[level] = (lo_i, max(hi_i - lo_i, 0))
+    return bands
+
+
 def multilevel_lists(
     scores: jnp.ndarray,
     mask_ratios: Dict[int, Tuple[float, float]] | None = None,
@@ -343,12 +362,12 @@ def multilevel_lists(
     row = jnp.arange(n_q, dtype=jnp.int32)
     forced_row = (row >= n_q - 2) if force_last2 else jnp.zeros((n_q,), bool)
     full_row = jnp.minimum(jnp.arange(cap, dtype=jnp.int32), n_k - 1)
+    bands = multilevel_rank_bands(n_k, mask_ratios)
     idx_levels, cnt_levels = [], []
     for level in (1, 2, 4, 8):
-        lo, hi = mask_ratios.get(level, (0.0, 0.0))
-        lo_i, hi_i = max(0, int(n_k * lo)), min(n_k, int(n_k * hi))
+        lo_i, band_w = bands[level]
         budget = cap - (2 if (level == 1 and force_last2) else 0)
-        width = min(max(hi_i - lo_i, 0), budget)
+        width = min(band_w, budget)
         cnt = jnp.full(scores.shape[:-1], width, jnp.int32)
         if width:
             band = order[..., lo_i:lo_i + width]

@@ -221,7 +221,9 @@ def main():
                 mask_refresh_every=args.mask_refresh_every,
             )
             path = os.path.join(args.output_dir, f"video_{i:04d}.mp4")
-            out = export_video(np.asarray(frames[0]), path, fps=preset.video.fps)
+            # uint8 conversion on device: quarters the device->host pull
+            out = export_video(np.asarray(pipe.frames_to_uint8(frames[0])),
+                               path, fps=preset.video.fps)
             print(f"[{i + 1}/{len(prompts)}] {out}")
         except Exception as e:  # per-prompt isolation (reference behavior)
             print(f"prompt {i} failed: {type(e).__name__}: {e}")

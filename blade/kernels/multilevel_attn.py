@@ -338,6 +338,7 @@ def multilevel_attention(
     fused: Optional[bool] = None,
     lists=None,
     q_rows: int = 128,
+    pooled_tiles: Optional[Tuple[int, int, int]] = None,
 ):
     """Multi-level pooled sparse attention over ``[B, H, L, D]``.
 
@@ -360,6 +361,14 @@ def multilevel_attention(
     ``q_rows``: query rows per mask row (fused path only; 256 halves the
     kernel's per-row overhead at coarser mask granularity — equivalent to
     a 128-row mask with each row duplicated).
+
+    ``pooled_tiles``: optional static MXU tile widths for the pooled
+    levels ``(t2, t4, t8)`` (fused path only).  When the caller knows the
+    per-level band widths are static (``multilevel_lists`` rank bands),
+    sizing each tile to its band eliminates the wasted tail columns of
+    the default widths (level 8's default 1024-wide tile wastes ~45% of
+    its exp+matmul at the standard 25% band); exactness is unaffected
+    (tail columns are masked either way).
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -376,7 +385,8 @@ def multilevel_attention(
         raise ValueError("q_rows != 128 requires the fused path")
     if fused:
         return _multilevel_fused(q, k, v, levels, scale, interpret,
-                                 lists=lists, q_rows=q_rows)
+                                 lists=lists, q_rows=q_rows,
+                                 pooled_tiles=pooled_tiles)
 
     # Level-1 pass: exact per-block attention via the binary sparse kernel
     # at the ORIGINAL head dim (it lane-packs d=64 internally; pre-padding
@@ -489,7 +499,7 @@ def _fused_ml_kernel(
     pyr4_buf,  # (1, r, c)-blocked in_spec alternative re-fetches the whole
     pyr8_buf,  # pyramid EVERY grid step (~4 MB x 35 steps/bh at cog).
     sem, idx_sem, pyr_sem,
-    *, scale, kv_valid_len, kv_pad_len, n_kt, sub_s, q_block,
+    *, scale, kv_valid_len, kv_pad_len, n_kt, sub_s, q_block, pooled_tiles,
 ):
     r_rows = FUSED_ROWS
     bh = pl.program_id(0)
@@ -633,7 +643,7 @@ def _fused_ml_kernel(
             seg_rows = KV_BLOCK // level
             # No point tiling wider than the whole pooled pyramid (small
             # geometries/tests): clamp to n_kt blocks, 128-lane minimum.
-            tile = max(128, min(POOLED_TILE[level], seg_rows * n_kt))
+            tile = max(128, min(pooled_tiles[level], seg_rows * n_kt))
             segs = tile // seg_rows
             colp = jax.lax.broadcasted_iota(jnp.int32, (q_block, tile), 1)
             grpp = colp // seg_rows
@@ -752,7 +762,7 @@ def _masks_from_lists(idx_all, cnt_all, n_qt, n_kt, sub_s):
 
 
 def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
-                    q_rows=128):
+                    q_rows=128, pooled_tiles=None):
     """Fused forward.  q: [BH, Lq_pad, d]; k/v: [BH, Lk_pad, d] (edge-padded
     originals); idx_all/cnt_all: packed per-level lists (see _pack_lists)."""
     bh, lq_pad, d = q.shape
@@ -809,6 +819,8 @@ def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
         n_kt=n_kt,
         sub_s=sub_s,
         q_block=q_block,
+        pooled_tiles=POOLED_TILE if pooled_tiles is None
+        else dict(zip((2, 4, 8), pooled_tiles)),
     )
     out, lse8 = pl.pallas_call(
         kernel,
@@ -828,22 +840,23 @@ def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
     return out[:, :lq_out], lse8[:, 0, :lq_out]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
 def _fused_ml_core(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all, cnt_all,
-                   scale, lk, interpret, q_rows):
+                   scale, lk, interpret, q_rows, pooled_tiles=None):
     return _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
-                           q_rows)
+                           q_rows, pooled_tiles)
 
 
 def _fused_ml_core_fwd(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all,
-                       cnt_all, scale, lk, interpret, q_rows):
+                       cnt_all, scale, lk, interpret, q_rows,
+                       pooled_tiles=None):
     out, lse = _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk,
-                               interpret, q_rows)
+                               interpret, q_rows, pooled_tiles)
     return (out, lse), (q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all,
                         cnt_all, out, lse)
 
 
-def _fused_ml_core_bwd(scale, lk, interpret, q_rows, res, g):
+def _fused_ml_core_bwd(scale, lk, interpret, q_rows, pooled_tiles, res, g):
     """Direct multi-level backward: each level's grouped-gather dQ/dK/dV
     pass runs against the GLOBAL merged (out, lse) — p_ij = exp(s_ij - lse_i)
     already includes the cross-level softmax weights, so per-level passes
@@ -895,7 +908,7 @@ _fused_ml_core.defvjp(_fused_ml_core_fwd, _fused_ml_core_bwd)
 
 
 def _multilevel_fused(q, k, v, levels, scale, interpret, lists=None,
-                      q_rows=128):
+                      q_rows=128, pooled_tiles=None):
     """Build pads + pooled pyramids and invoke the fused single-pass core.
 
     Pooling stays OUTSIDE the custom-VJP boundary so XLA autodiff handles
@@ -939,7 +952,7 @@ def _multilevel_fused(q, k, v, levels, scale, interpret, lists=None,
         idx_all, cnt_all = _lists_from_levels(levels_bh, sub_s)
     out, lse = _fused_ml_core(
         flat(qp), flat(kp_full), flat(vp_full), *pooled, idx_all, cnt_all,
-        scale, lk, interpret, q_rows,
+        scale, lk, interpret, q_rows, pooled_tiles,
     )
     out = out.reshape(b, h, lq_pad, d)[:, :, :lq]
     lse = lse.reshape(b, h, lq_pad)[:, :, :lq]

@@ -156,11 +156,16 @@ def merge_attention(outs: Sequence[jnp.ndarray], lses: Sequence[jnp.ndarray]):
     (``cogvideo_blocksparseattn.py:374-393``) — any per-branch score bias is
     assumed to already be folded into the branch's lse.
     """
-    lse_stack = jnp.stack(list(lses), axis=0)  # [n, ..., Lq]
+    lse_stack = jnp.stack(list(lses), axis=0)  # [n, ..., Lq] (small: no D)
     m = jnp.max(lse_stack, axis=0)
     w = jnp.exp(lse_stack - m[None])  # [n, ..., Lq]
     denom = jnp.sum(w, axis=0)
-    out_stack = jnp.stack([o.astype(jnp.float32) for o in outs], axis=0)
-    out = jnp.sum(out_stack * (w / denom)[..., None], axis=0)
+    # Weighted sum WITHOUT stacking the outputs: stacking materializes n
+    # f32 copies of [.., Lq, D] (~0.8 GB at Wan 480p) that XLA does not
+    # fuse away; the unrolled sum is one elementwise pass over the branch
+    # outputs in their storage dtype.
+    wn = w / denom
+    out = sum(o.astype(jnp.float32) * wn[i][..., None]
+              for i, o in enumerate(outs))
     lse = m + jnp.log(denom)
     return out.astype(outs[0].dtype), lse

@@ -20,6 +20,7 @@ numerics).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -418,6 +419,20 @@ class CogVideoXVAE(nn.Module):
         return self.decode(self.encode(video, rng))
 
 
+@functools.lru_cache(maxsize=16)
+def _chunk_decoder(cfg: CogVideoXVAEConfig, dtype, chunk: int):
+    """Process-cached jitted chunk decoder (see vae_wan._chunk_decoder:
+    a fresh jit wrapper per call re-traces/compiles every chunk program;
+    the chunk is sliced inside the program — no eager slice dispatches)."""
+    vae = CogVideoXVAE(cfg, dtype)
+
+    def run(p, z, start, c):
+        zz = jax.lax.dynamic_slice_in_dim(z, start, chunk, axis=1)
+        return vae.apply(p, zz, c, method=vae.decode_with_cache)
+
+    return jax.jit(run)
+
+
 def chunked_decode(vae: CogVideoXVAE, params, z, *, frame_batch: int = 2):
     """diffusers-parity chunked decode: first chunk takes the remainder
     (so chunk 0 is odd and carries the image-coded first frame), later
@@ -427,12 +442,10 @@ def chunked_decode(vae: CogVideoXVAE, params, z, *, frame_batch: int = 2):
     bounds = [0, frame_batch + rem] if t > frame_batch else [0, t]
     while bounds[-1] < t:
         bounds.append(min(bounds[-1] + frame_batch, t))
-    decode1 = jax.jit(
-        lambda p, zz, c: vae.apply(p, zz, c, method=vae.decode_with_cache)
-    )
     cache = None
     pieces = []
     for s, e in zip(bounds[:-1], bounds[1:]):
-        piece, cache = decode1(params, z[:, s:e], cache)
+        decode1 = _chunk_decoder(vae.cfg, vae.dtype, e - s)
+        piece, cache = decode1(params, z, s, cache)
         pieces.append(piece)
     return jnp.concatenate(pieces, axis=1)
