@@ -164,6 +164,31 @@ def test_fused_lists_match_levels_path():
                                atol=1e-6, rtol=1e-6)
 
 
+def test_fused_pooled_tiles_exact():
+    """Band-sized pooled MXU tiles change scheduling only — outputs match
+    the default tile widths to reduction-order ulps (tail columns are
+    masked either way; a different tile width only reorders the f32
+    row-sum)."""
+    q, k, v = _qkv(jax.random.PRNGKey(40), l=640)
+    nk = 5
+    scores = jax.random.uniform(jax.random.PRNGKey(41), (1, 2, 5, nk))
+    idx, cnt = M.multilevel_lists(scores, cap=128)
+    bands = M.multilevel_rank_bands(nk)
+    tiles = tuple(
+        max(128, -(-(bands[lv][1] * (128 // lv)) // 128) * 128)
+        for lv in (2, 4, 8))
+    out_d, lse_d = multilevel_attention(
+        q, k, v, None, lists=(idx, cnt), interpret=True, fused=True)
+    out_t, lse_t = multilevel_attention(
+        q, k, v, None, lists=(idx, cnt), interpret=True, fused=True,
+        pooled_tiles=tiles)
+    np.testing.assert_allclose(np.asarray(out_d, np.float32),
+                               np.asarray(out_t, np.float32),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse_d), np.asarray(lse_t),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_fused_lists_gradients():
     q, k, v = _qkv(jax.random.PRNGKey(23), l=512)
     scores = jax.random.uniform(jax.random.PRNGKey(24), (1, 2, 4, 4))
