@@ -55,7 +55,7 @@ def bench_e2e():
     a failed full-model dispatch must not kill the headline metrics."""
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--e2e"],
-        capture_output=True, text=True, timeout=4800,
+        capture_output=True, text=True, timeout=7200,
         cwd=os.path.dirname(os.path.abspath(__file__)))
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
@@ -64,6 +64,57 @@ def bench_e2e():
             continue
     tail = (proc.stdout + proc.stderr)[-300:]
     return {"e2e_error": f"subprocess rc={proc.returncode}: {tail}"}
+
+
+def _bench_e2e_reuse(pipe, dit_params, init, noise, embeds, rng, every=4):
+    """Opt-in VSA-style mask reuse on the e2e denoise loop: refresh the
+    per-layer ASA masks every ``every`` steps, replay them in between
+    (skips the predictor + energy-mask build on replay steps).  Two extra
+    one-forward compile units (collect/replay variants)."""
+    from blade.sampling.pipeline import wan_stepper_reuse
+
+    def model_fn_p(params, x, t, te, r, masks=None, collect_mask=False):
+        akw = {"rng": r}
+        if masks is not None:
+            akw["masks"] = masks
+        if collect_mask:
+            o, st = pipe.dit.apply(
+                params, x, t, te, attn_kwargs=dict(akw, collect_mask=True),
+                mutable=["intermediates"])
+            return o, jax.tree_util.tree_leaves(st["intermediates"])[0]
+        return pipe.dit.apply(params, x, t, te, attn_kwargs=akw)
+
+    def refresh_p(params, state, i, te, r):
+        _, rf, _ = wan_stepper_reuse(
+            lambda x, t, tee, rr, **kw: model_fn_p(params, x, t, tee, rr, **kw),
+            num_steps=8)
+        return rf(state, i, te, r)
+
+    def reuse_p(params, state, masks, i, te, r):
+        _, _, ru = wan_stepper_reuse(
+            lambda x, t, tee, rr, **kw: model_fn_p(params, x, t, tee, rr, **kw),
+            num_steps=8)
+        return ru(state, masks, i, te, r)
+
+    jrefresh = jax.jit(refresh_p)
+    jreuse = jax.jit(reuse_p)
+    st, mk = jrefresh(dit_params, init(noise), jnp.asarray(0), embeds, rng)
+    st = jreuse(dit_params, st, mk, jnp.asarray(1), embeds, rng)
+    jax.device_get(st.x)  # compile both variants + first runs
+
+    runs = []
+    for _ in range(3):
+        st = init(noise)
+        mk = None
+        t0 = time.perf_counter()
+        for i in range(8):
+            if i % every == 0:
+                st, mk = jrefresh(dit_params, st, jnp.asarray(i), embeds, rng)
+            else:
+                st = jreuse(dit_params, st, mk, jnp.asarray(i), embeds, rng)
+        jax.device_get(st.x)
+        runs.append(time.perf_counter() - t0)
+    return {f"e2e_denoise8_sparse_reuse{every}_s": round(min(runs), 3)}
 
 
 def bench_e2e_impl():
@@ -82,7 +133,7 @@ def bench_e2e_impl():
     import gc
 
     from blade.config import WAN_480P
-    from blade.sampling.pipeline import wan_stepper
+    from blade.sampling.pipeline import wan_stepper, wan_stepper_reuse
     from blade.sampling.t2v import T2VPipeline
 
     rng = jax.random.PRNGKey(0)
@@ -146,6 +197,12 @@ def bench_e2e_impl():
         out[f"e2e_denoise8_{name}_s"] = round(min(runs), 3)
         if sparse:
             latents = state.x
+            if os.environ.get("BLADE_BENCH_E2E_REUSE", "1") not in ("0", "off"):
+                try:
+                    out.update(_bench_e2e_reuse(
+                        pipe, dit_params, init, noise, embeds, rng))
+                except Exception as e:
+                    out["e2e_reuse_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # streamed VAE decode (2-program chunk loop, on the last-built pipe's
     # random VAE params); time the warm pass.  Completion is synced with a

@@ -174,6 +174,48 @@ def wan_stepper(
     return init, step
 
 
+def wan_stepper_reuse(
+    model_fn: ModelFn,
+    *,
+    num_steps: int = 8,
+    flow_shift: float = 3.0,
+):
+    """Mask-reuse variant of :func:`wan_stepper`: returns
+    ``(init, refresh, reuse)``.
+
+    ``refresh(state, i, text_embeds, rng) -> (state, masks)`` predicts the
+    per-layer ASA masks at step ``i`` (the model's ``collect_mask``
+    protocol) alongside the velocity; ``reuse(state, masks, i, ...)``
+    replays them, skipping the predictor+mask build for that step.  The
+    host loop picks refresh/reuse per step, so each variant stays its own
+    one-forward compile unit (the ``lax.cond`` pair in :func:`sample_wan`'s
+    scan-path would double the unit — too big for the remote-compile
+    relay at full geometry).
+
+    Math matches ``sample_wan(mask_refresh_every=n)`` when the host calls
+    refresh at ``i % n == 0`` (exactness-tested in tests/test_pipeline.py).
+    """
+    sched = F.make_flow_unipc_schedule(num_steps, flow_shift=flow_shift)
+    timesteps = jnp.asarray(sched.timesteps, jnp.float32)
+
+    def init(noise):
+        return F.unipc_init(noise.astype(jnp.float32))
+
+    def refresh(state, i, text_embeds, rng):
+        t = jnp.full(state.x.shape[:1], timesteps[i])
+        v, masks = model_fn(state.x, t, text_embeds,
+                            jax.random.fold_in(rng, i), collect_mask=True)
+        return F.unipc_step(sched, state, v.astype(jnp.float32), i), masks
+
+    def reuse(state, masks, i, text_embeds, rng):
+        t = jnp.full(state.x.shape[:1], timesteps[i])
+        v = model_fn(state.x, t, text_embeds, jax.random.fold_in(rng, i),
+                     masks=masks)
+        return F.unipc_step(sched, state, v.astype(jnp.float32), i)
+
+    return init, refresh, reuse
+
+
 def sample_cogvideox(
     model_fn: ModelFn,
     noise: jnp.ndarray,

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from blade.sampling.pipeline import sample_wan, wan_stepper
+from blade.sampling.pipeline import sample_wan, wan_stepper, wan_stepper_reuse
 
 
 def _toy_model(params):
@@ -37,6 +37,49 @@ def test_wan_stepper_matches_scan_exactly():
     for i in range(8):
         state = jstep(state, jnp.asarray(i), text, rng)
     np.testing.assert_array_equal(np.asarray(state.x), np.asarray(ref))
+
+
+def _toy_masked_model(params):
+    """Toy model honouring the collect_mask/masks protocol: the 'mask' is a
+    data-dependent summary of x that perturbs the velocity, so replayed
+    masks are distinguishable from refreshed ones unless the state matches."""
+
+    def fn(x, t, text, rng, masks=None, collect_mask=False):
+        tt = t.reshape((-1,) + (1,) * (x.ndim - 1)) / 1000.0
+        m = masks if masks is not None else jnp.tanh(x.mean() * 3.0)
+        v = (jnp.tanh(x * params["w"] + tt) + text.mean() * 0.1 + m * 0.05
+             ).astype(jnp.bfloat16)
+        if collect_mask:
+            return v, jnp.tanh(x.mean() * 3.0)
+        return v
+
+    return fn
+
+
+def test_wan_stepper_reuse_matches_scan_sampler():
+    rng = jax.random.PRNGKey(3)
+    noise = jax.random.normal(jax.random.fold_in(rng, 1), (1, 4, 3, 8, 8))
+    text = jax.random.normal(jax.random.fold_in(rng, 2), (1, 7, 16))
+    fn = _toy_masked_model({"w": 0.6})
+    every = 3
+
+    ref = jax.jit(
+        lambda n, te: sample_wan(fn, n, te, rng=rng, num_steps=8,
+                                 flow_shift=3.0, mask_refresh_every=every)
+    )(noise, text)
+
+    init, refresh, reuse = wan_stepper_reuse(fn, num_steps=8, flow_shift=3.0)
+    jrefresh = jax.jit(refresh)
+    jreuse = jax.jit(reuse)
+    state = init(noise)
+    masks = None
+    for i in range(8):
+        if i % every == 0:
+            state, masks = jrefresh(state, jnp.asarray(i), text, rng)
+        else:
+            state = jreuse(state, masks, jnp.asarray(i), text, rng)
+    np.testing.assert_array_equal(np.asarray(state.x), np.asarray(ref))
+    assert jrefresh._cache_size() == 1 and jreuse._cache_size() == 1
 
 
 def test_wan_stepper_compiles_once():
