@@ -108,3 +108,35 @@ def test_wan_mask_reuse_across_steps():
         text, rng=jax.random.PRNGKey(2), num_steps=4, mask_refresh_every=4
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bench_e2e_reuse_glue_runs_tiny():
+    """bench.py's mask-reuse e2e helper (explicit-params collect/replay
+    wrappers around the flax intermediates protocol) must run end-to-end on
+    the tiny preset and return a finite timing."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from blade import config as C
+    from blade.sampling.pipeline import wan_stepper
+    from blade.sampling.t2v import T2VPipeline
+
+    pipe = T2VPipeline.random_init(
+        C.WAN_TINY_PRESET, jax.random.PRNGKey(0), sparse=True,
+        mask_mode="energy", with_text_encoder=False,
+    )
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (1, C.WAN_TINY_PRESET.max_text_len, C.WAN_TINY_PRESET.text.d_model),
+        jnp.bfloat16)
+    init, _ = wan_stepper(lambda *a: None, num_steps=8)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(2), pipe.latent_shape(1), jnp.float32
+    ).astype(pipe.dtype)
+    out = bench._bench_e2e_reuse(
+        pipe, pipe.dit_params, init, noise, embeds, jax.random.PRNGKey(3))
+    (key, val), = out.items()
+    assert key == "e2e_denoise8_sparse_reuse4_s" and val > 0
