@@ -226,6 +226,24 @@ def bench_e2e_impl():
     host_frames = jax.device_get(pipe.frames_to_uint8(frames))
     t_fetch = time.perf_counter() - t0
 
+    # bf16 serving decode (computation dtype only; tested within ~2 pixel
+    # levels of f32 in tests/test_vae_families.py).  Headline clip time
+    # stays on the f32 reference-parity decode.
+    try:
+        from blade.models.vae import build_vae
+
+        pipe.vae = build_vae(pipe.preset.vae, dtype=jnp.bfloat16)
+        f16 = pipe.decode_latents(latents.astype(pipe.dtype))
+        jax.device_get(checksum(f16))
+        t0 = time.perf_counter()
+        f16 = pipe.decode_latents(latents.astype(pipe.dtype))
+        jax.device_get(checksum(f16))
+        out["e2e_decode_bf16_s"] = round(time.perf_counter() - t0, 3)
+        out["e2e_clip_s_8step_sparse_bf16vae"] = round(
+            out["e2e_denoise8_sparse_s"] + out["e2e_decode_bf16_s"], 3)
+    except Exception as e:
+        out["e2e_decode_bf16_error"] = f"{type(e).__name__}: {e}"[:200]
+
     sparse_clip_s = out["e2e_denoise8_sparse_s"] + t_dec
     dense50_clip_s = 50 * step_ms["dense"] / 1e3 + t_dec
     out.update({

@@ -37,6 +37,11 @@ class T2VPipeline:
     sparse: bool = True
     mask_mode: str = "multilevel"  # inference default; "energy" for training
     dtype: Any = jnp.bfloat16
+    # VAE *computation* dtype (params stay f32).  f32 default = reference
+    # parity (the reference runs the Wan VAE in fp32,
+    # wanx/train/inference.py); bf16 roughly halves decode time on TPU and
+    # is the usual serving choice there.
+    vae_dtype: Any = jnp.float32
     interpret: Optional[bool] = None
 
     def __post_init__(self):
@@ -51,7 +56,7 @@ class T2VPipeline:
             self.dit = WanModel(p.dit, dtype=self.dtype, **kwargs)
         else:
             self.dit = CogVideoXModel(p.dit, dtype=self.dtype, **kwargs)
-        self.vae = build_vae(p.vae)
+        self.vae = build_vae(p.vae, dtype=self.vae_dtype)
         self.text_encoder = T5Encoder(p.text, dtype=self.dtype)
 
     # ------------------------------------------------------------- helpers
@@ -296,12 +301,14 @@ class T2VPipeline:
     @classmethod
     def random_init(
         cls, preset: FamilyPreset, rng, *, sparse=True, mask_mode="multilevel",
-        dtype=jnp.bfloat16, with_text_encoder=True, interpret=None,
+        dtype=jnp.bfloat16, vae_dtype=jnp.float32, with_text_encoder=True,
+        interpret=None,
     ):
         """Random-weight pipeline (smoke tests / benchmarking without ckpts)."""
         self = cls(
             preset=preset, dit_params=None, vae_params=None, text_params=None,
-            sparse=sparse, mask_mode=mask_mode, dtype=dtype, interpret=interpret,
+            sparse=sparse, mask_mode=mask_mode, dtype=dtype,
+            vae_dtype=vae_dtype, interpret=interpret,
         )
         r1, r2, r3 = jax.random.split(rng, 3)
         lat = jnp.zeros(self.latent_shape(1), dtype)

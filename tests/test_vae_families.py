@@ -74,6 +74,26 @@ def test_wan_streaming_decode_exact(wan_setup):
         )
 
 
+def test_wan_bf16_decode_close_to_f32(wan_setup):
+    """The bf16 serving decode (computation dtype only; params stay f32)
+    must track the reference-parity f32 decode closely — output range is
+    [-1, 1], so 0.05 absolute is ~2.5 8-bit pixel levels."""
+    vae, params, video = wan_setup
+    z = vae.apply(params, video, method=vae.encode)
+    f32 = vae.apply(params, z, method=vae.decode)
+    vae16 = WanVAE(WAN_SMALL, dtype=jnp.bfloat16)
+    b16 = vae16.apply(params, z, method=vae16.decode)
+    assert b16.dtype == jnp.bfloat16
+    err = np.abs(np.asarray(b16, np.float32) - np.asarray(f32))
+    assert err.mean() < 0.02 and err.max() < 0.2, (err.mean(), err.max())
+    # Streamed bf16 decode re-rounds at every conv-cache boundary, so it is
+    # not elementwise-tight vs whole-clip bf16 — hold it to the same
+    # perceptual budget vs the f32 reference instead.
+    stream16 = streaming_decode(vae16, params, z, chunk_latents=1)
+    serr = np.abs(np.asarray(stream16, np.float32) - np.asarray(f32))
+    assert serr.mean() < 0.02 and serr.max() < 0.2, (serr.mean(), serr.max())
+
+
 def test_wan_published_latent_stats():
     assert WAN21_VAE.latents_mean is not None
     assert len(WAN21_VAE.latents_mean) == WAN21_VAE.z_dim
