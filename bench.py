@@ -203,6 +203,29 @@ def bench_e2e_impl():
                         pipe, dit_params, init, noise, embeds, rng))
                 except Exception as e:
                     out["e2e_reuse_error"] = f"{type(e).__name__}: {e}"[:200]
+            if os.environ.get("BLADE_BENCH_E2E_BATCH2", "1") not in ("0", "off"):
+                # Serving throughput: batch-2 denoise (same jitted step,
+                # new shapes).  Per-clip cost drops when batching amortizes
+                # per-step dispatch + keeps the MXU fuller.
+                try:
+                    noise2 = jnp.concatenate([noise, noise], axis=0)
+                    embeds2 = jnp.concatenate([embeds, embeds], axis=0)
+                    st2 = jstep(dit_params, init(noise2), jnp.asarray(0),
+                                embeds2, rng)
+                    jax.device_get(st2.x)
+                    runs2 = []
+                    for _ in range(2):
+                        st2 = init(noise2)
+                        t0 = time.perf_counter()
+                        for i in range(8):
+                            st2 = jstep(dit_params, st2, jnp.asarray(i),
+                                        embeds2, rng)
+                        jax.device_get(st2.x)
+                        runs2.append(time.perf_counter() - t0)
+                    out["e2e_denoise8_sparse_batch2_s"] = round(min(runs2), 3)
+                    st2 = noise2 = embeds2 = None
+                except Exception as e:
+                    out["e2e_batch2_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # streamed VAE decode (2-program chunk loop, on the last-built pipe's
     # random VAE params); time the warm pass.  Completion is synced with a
