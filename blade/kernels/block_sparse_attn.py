@@ -49,14 +49,18 @@ from blade.attention.masks import mask_to_block_lists
 __all__ = ["block_sparse_attention", "flash_attention"]
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # exp(x) == exp2(x * LOG2E)
 
 DEFAULT_Q_BLOCK = 128
 KV_BLOCK = 128
-# Dense path uses wide tiles: the MXU/pipeline overhead of 128x128 steps
-# dominates otherwise (v5e, seq 32760: 128-tiles 440ms, 512-tiles 104ms,
-# 1024-tiles 49ms = 135 TFLOP/s).
-DENSE_Q_TILE = 1024
-DENSE_KV_TILE = 1024
+# Dense path uses wide KV tiles: the MXU/pipeline overhead of 128x128
+# steps dominates otherwise (v5e, seq 32760: 128-tiles 440ms, 512-tiles
+# 104ms, 1024-square 48.1ms; q=512/kv=4096 45.6ms = 144 TF/s, and
+# 61.2ms = 63 TF/s at cog d=64 via the kv=2048 waste-capped pick —
+# sweep in git history).  The q tile stays moderate: the f32 score
+# intermediate is [q_tile, kv_tile] VMEM and 2048-square fails to compile.
+DENSE_Q_TILE = 512
+DENSE_KV_TILE = 4096
 NBUF = 4  # sparse-gather DMA pipeline depth (group fetches)
 GROUP = 8  # 128-blocks gathered/attended per iteration (1024-wide MXU tiles)
 
@@ -66,9 +70,14 @@ def _interpret_default() -> bool:
 
 
 def _tail_mask(s, start_col, kv_valid_len):
-    """Mask score columns beyond the valid key length (padded tail)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    return jnp.where(start_col + col < kv_valid_len, s, NEG_INF)
+    """Mask score columns beyond the valid key length (padded tail).
+
+    Implemented as a broadcast-add of a [1, tile] penalty row: one VPU pass
+    over the score tile instead of the compare+select pair (the row's own
+    compare/select is 1/rows of the tile)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[-1]), 1)
+    pen = jnp.where(start_col + col < kv_valid_len, 0.0, NEG_INF)
+    return s + pen
 
 
 # ---------------------------------------------------------------------------
@@ -91,18 +100,29 @@ def _dense_fwd_kernel(
 
     q = q_ref[0]
     kb = k_ref[0]
+    # Scores stay in RAW q@k units; the softmax runs base-2 with the carry
+    # in base-2 logit units (p = exp2(s*c - m2), c = scale*log2(e)) and the
+    # scalar `bias` folded into the final LSE (softmax-invariant) — saves
+    # the per-element scale-mul, bias-add and exp-internal-mul passes (the
+    # VPU, not the MXU, bounds these kernels at d=64).
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale + bias
     if kv_valid_len < kv_pad_len:
+        # Unconditional: gating this on j == n_k-1 via lax.cond breaks the
+        # Mosaic pipeline (measured 48->83 ms at wan geometry).
         s = _tail_mask(s, j * kb.shape[0], kv_valid_len)
+    c = scale * LOG2E
 
+    # The carry m lives in BASE-2 logit units (max(s)*c): the per-tile work
+    # is one multiply + one broadcast-sub + exp2 (measured faster than both
+    # the legacy s*scale+bias/exp form and recomputing m*c per tile —
+    # scripts/profile_softmax_forms.py).
     m_prev = m_scr[:, 0:1]
     l_prev = l_scr[:, 0:1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True) * c)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s * c - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -118,7 +138,9 @@ def _dense_fwd_kernel(
         m = m_scr[:, 0:1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-        lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+        # m is base-2-scaled; LSE output stays natural-log (bias folded in).
+        lse = jnp.where(l == 0.0, NEG_INF,
+                        m * (1.0 / LOG2E) + bias + jnp.log(l_safe))
         lse_ref[0] = jnp.broadcast_to(jnp.transpose(lse, (1, 0)), lse_ref.shape[1:])
 
 
@@ -141,10 +163,11 @@ def _dense_dq_kernel(
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale + bias
     if kv_valid_len < kv_pad_len:
         s = _tail_mask(s, j * kb.shape[0], kv_valid_len)
-    p = jnp.exp(s - lse)
+    # p = exp(s*scale + bias - lse) as one base-2 broadcast-fma pass.
+    c = scale * LOG2E
+    p = jnp.exp2(s * c - (lse - bias) * LOG2E)
     dov = jax.lax.dot_general(
         do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -181,10 +204,9 @@ def _dense_dkv_kernel(
     s = jax.lax.dot_general(
         qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale + bias
     if kv_valid_len < kv_pad_len:
         s = _tail_mask(s, ki * kb.shape[0], kv_valid_len)
-    p = jnp.exp(s - lse)
+    p = jnp.exp2(s * (scale * LOG2E) - (lse - bias) * LOG2E)
     dv_scr[...] += jax.lax.dot_general(
         p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -298,7 +320,6 @@ def _sparse_fwd_kernel(
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale + bias
         ok = (segs * t + grp) < count
         if kv_valid_len < kv_pad_len:
             src_col = jnp.zeros((q_block, width), jnp.int32)
@@ -307,9 +328,11 @@ def _sparse_fwd_kernel(
                 src_col = jnp.where(grp == u, blk_u * seg_rows + lane, src_col)
             ok = ok & (src_col < kv_valid_len)
         s = jnp.where(ok, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
+        # base-2 carry (see _dense_fwd_kernel)
+        c = scale * LOG2E
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True) * c)
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s * c - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
@@ -326,7 +349,8 @@ def _sparse_fwd_kernel(
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+    lse = jnp.where(l == 0.0, NEG_INF,
+                    m * (1.0 / LOG2E) + bias + jnp.log(l_safe))
     lse_ref[0] = jnp.broadcast_to(jnp.transpose(lse, (1, 0)), lse_ref.shape[1:])
 
 
@@ -456,15 +480,15 @@ def _sparse_fwd_rows_kernel(
                 q, kb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            s = s * scale + bias
             ok = (segs * t + grp) < count
             if kv_valid_len < kv_pad_len:
                 limit = jnp.where(t == t_last, lim, jnp.int32(width))
                 ok = ok & (col < limit)
             s = jnp.where(ok, s, NEG_INF)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            alpha = jnp.exp(m - m_new)
-            p = jnp.exp(s - m_new)
+            c = scale * LOG2E  # base-2 carry (see _dense_fwd_kernel)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True) * c)
+            alpha = jnp.exp2(m - m_new)
+            p = jnp.exp2(s * c - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
@@ -482,7 +506,8 @@ def _sparse_fwd_rows_kernel(
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, r * q_block:(r + 1) * q_block, :] = (
             acc / l_safe).astype(o_ref.dtype)
-        lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+        lse = jnp.where(l == 0.0, NEG_INF,
+                        m * (1.0 / LOG2E) + bias + jnp.log(l_safe))
         lse_ref[0, :, r * q_block:(r + 1) * q_block] = jnp.broadcast_to(
             jnp.transpose(lse, (1, 0)), (8, q_block))
 
@@ -579,7 +604,6 @@ def _sparse_fwd_union_kernel(
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale + bias
         ok = (GROUP * t + grp) < count
         # Per-row validity from the packed high bits + optional tail mask.
         bits = jnp.zeros((rows, width), jnp.int32)
@@ -594,9 +618,10 @@ def _sparse_fwd_union_kernel(
                 src_col = jnp.where(grp == u, blk_u * KV_BLOCK + lane, src_col)
             ok = ok & (src_col < kv_valid_len)
         s = jnp.where(ok, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
+        c = scale * LOG2E  # base-2 carry (see _dense_fwd_kernel)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True) * c)
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s * c - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
@@ -613,7 +638,8 @@ def _sparse_fwd_union_kernel(
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+    lse = jnp.where(l == 0.0, NEG_INF,
+                    m * (1.0 / LOG2E) + bias + jnp.log(l_safe))
     lse_ref[0] = jnp.broadcast_to(jnp.transpose(lse, (1, 0)), lse_ref.shape[1:])
 
 
@@ -680,6 +706,7 @@ def _sparse_dq_kernel(
     q = q_ref[0]
     do = do_ref[0]
     lse = jnp.transpose(lse_ref[0, 0:1, :], (1, 0))
+    lse2 = (lse - bias) * LOG2E  # loop-invariant base-2 row vector
     rest = jnp.transpose(glse_ref[0, 0:1, :] - delta_ref[0, 0:1, :], (1, 0))
     d = q_ref.shape[-1]
     width = segs * seg_rows
@@ -701,7 +728,6 @@ def _sparse_dq_kernel(
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale + bias
         ok = (segs * t + grp) < count
         if kv_valid_len < kv_pad_len:
             src_col = jnp.zeros((q_block, width), jnp.int32)
@@ -710,7 +736,8 @@ def _sparse_dq_kernel(
                 src_col = jnp.where(grp == u, blk_u * seg_rows + lane, src_col)
             ok = ok & (src_col < kv_valid_len)
         s = jnp.where(ok, s, NEG_INF)
-        p = jnp.exp(s - lse)
+        # p = exp(s*scale + bias - lse) in one base-2 broadcast-fma pass.
+        p = jnp.exp2(s * (scale * LOG2E) - lse2)
         dov = jax.lax.dot_general(
             do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -831,13 +858,13 @@ def _sparse_dkv_kernel(
         s = jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale + bias
         ok = (GROUP_Q * t + rgrp) < count
         if kv_valid_len < kv_pad_len:
             colk = jax.lax.broadcasted_iota(jnp.int32, (rows, kv_rows), 1)
             ok = ok & (ki * kv_rows + colk < kv_valid_len)
         s = jnp.where(ok, s, NEG_INF)
-        p = jnp.exp(s - lse)
+        # p = exp(s*scale + bias - lse) in one base-2 broadcast-fma pass.
+        p = jnp.exp2(s * (scale * LOG2E) - (lse - bias) * LOG2E)
         dv_part = jax.lax.dot_general(
             p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -1025,11 +1052,20 @@ def _bwd_call(
             x.reshape(bh, n_qt, 1, q_block), (bh, n_qt, 8, q_block)
         )
 
-    stats_spec = pl.BlockSpec((1, 8, q_block), lambda b, i, j: (b, 0, i))
-    qtile_spec = pl.BlockSpec((1, q_block, d), lambda b, i, j: (b, i, 0))
-    ktile_spec = pl.BlockSpec((1, kv_tile, d), lambda b, i, j: (b, j, 0))
-
     if lists is None:  # dense backward
+        # The bwd kernels hold p, dov and ds alongside the f32 scores —
+        # 3x the forward's live tile bytes — so the forward's wide KV pick
+        # (4096) blows the 16 MB scoped-VMEM budget.  Cap both tiles at
+        # the measured-safe 1024 (tiles divide the fwd-padded lengths:
+        # powers of two <= the fwd picks).
+        q_block = min(q_block, 1024)
+        kv_tile = min(kv_tile, 1024)
+        n_qt = lq // q_block
+        n_kt = lk_pad // kv_tile
+        kw = _common_kwargs(scale, bias, kv_valid_len, lk_pad, q_block)
+        stats_spec = pl.BlockSpec((1, 8, q_block), lambda b, i, j: (b, 0, i))
+        qtile_spec = pl.BlockSpec((1, q_block, d), lambda b, i, j: (b, i, 0))
+        ktile_spec = pl.BlockSpec((1, kv_tile, d), lambda b, i, j: (b, j, 0))
         dq = pl.pallas_call(
             functools.partial(_dense_dq_kernel, **kw),
             grid=(bh, n_qt, n_kt),

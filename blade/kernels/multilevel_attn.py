@@ -41,6 +41,7 @@ from blade.attention.masks import mask_to_block_lists, pad_to_block_multiple
 from blade.kernels.block_sparse_attn import (
     GROUP,
     KV_BLOCK,
+    LOG2E,
     NBUF,
     NEG_INF,
     _interpret_default,
@@ -117,7 +118,6 @@ def _vmem_level_kernel(
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale + bias
         ok = (segs * t + grp) < count
         src_col = jnp.zeros((q_block, width), jnp.int32)
         for u in range(segs):
@@ -125,9 +125,10 @@ def _vmem_level_kernel(
             src_col = jnp.where(grp == u, blk_u * seg_rows + lane, src_col)
         ok = ok & (src_col < pooled_valid_len)
         s = jnp.where(ok, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
+        c = scale * LOG2E  # base-2 carry; bias -> final LSE
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True) * c)
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s * c - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
@@ -143,7 +144,8 @@ def _vmem_level_kernel(
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+    lse = jnp.where(l == 0.0, NEG_INF,
+                    m * (1.0 / LOG2E) + bias + jnp.log(l_safe))
     lse_ref[0] = jnp.broadcast_to(jnp.transpose(lse, (1, 0)), lse_ref.shape[1:])
 
 
@@ -618,15 +620,19 @@ def _fused_ml_kernel(
                 q, kb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            s = s * scale
+            # Raw scores; the carry (m, l) lives in BASE-2 logit units
+            # (z = (s*scale + log(level)) * log2(e)) so every level's bias
+            # and the softmax exp collapse into one broadcast-fma + exp2
+            # pass per element (level 1: bias 0).
             ok = (GROUP * t + grp1) < count
             if kv_valid_len < kv_pad_len:
                 limit = jnp.where(t == t_last1, lim1, jnp.int32(width1))
                 ok = ok & (col1 < limit)
             s = jnp.where(ok, s, NEG_INF)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            alpha = jnp.exp(m - m_new)
-            p = jnp.exp(s - m_new)
+            c = scale * LOG2E
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True) * c)
+            alpha = jnp.exp2(m - m_new)
+            p = jnp.exp2(s * c - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
@@ -672,15 +678,17 @@ def _fused_ml_kernel(
                     q, kb, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                s = s * scale + bias
                 ok = (segs * t + grpp) < countp
                 if kv_valid_len < kv_pad_len:
                     limit = jnp.where(t == t_lastp, limp, jnp.int32(tile))
                     ok = ok & (colp < limit)
                 s = jnp.where(ok, s, NEG_INF)
-                m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-                alpha = jnp.exp(m - m_new)
-                p = jnp.exp(s - m_new)
+                c = scale * LOG2E
+                b2 = bias * LOG2E  # log2(level)
+                m_new = jnp.maximum(
+                    m, jnp.max(s, axis=-1, keepdims=True) * c + b2)
+                alpha = jnp.exp2(m - m_new)
+                p = jnp.exp2(s * c + (b2 - m_new))
                 l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
                 pv = jax.lax.dot_general(
                     p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
@@ -695,7 +703,9 @@ def _fused_ml_kernel(
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, r * q_block:(r + 1) * q_block, :] = (
             acc / l_safe).astype(o_ref.dtype)
-        lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+        # m is in base-2 logit units; LSE output stays natural-log.
+        lse = jnp.where(l == 0.0, NEG_INF,
+                        m * (1.0 / LOG2E) + jnp.log(l_safe))
         lse_ref[0, :, r * q_block:(r + 1) * q_block] = jnp.broadcast_to(
             jnp.transpose(lse, (1, 0)), (8, q_block))
 
