@@ -25,7 +25,7 @@ from blade.schedulers.cogvideox_dpm import (
 )
 
 __all__ = ["sample_wan", "sample_cogvideox", "ddim_trajectory_sampler",
-           "wan_stepper"]
+           "wan_stepper", "cog_stepper"]
 
 ModelFn = Callable[..., jnp.ndarray]  # (latents, timestep[B], rng) -> prediction
 
@@ -214,6 +214,42 @@ def wan_stepper_reuse(
         return F.unipc_step(sched, state, v.astype(jnp.float32), i)
 
     return init, refresh, reuse
+
+
+def cog_stepper(
+    model_fn: ModelFn,
+    *,
+    num_steps: int = 8,
+    guidance_scale: float = 1.0,
+    ddpm_schedule: Optional[D.DDPMSchedule] = None,
+):
+    """Host-driven decomposition of :func:`sample_cogvideox`: returns
+    ``(init, step)`` where ``step(state, i, text_embeds, rng)`` is ONE
+    jittable SDE-DPM++(2M) step with a traced step index — same rationale
+    as :func:`wan_stepper` (the monolithic 8-step scan over the 42-block
+    CogVideoX-5B DiT exceeds the remote-compile relay's tolerance; one
+    step compiles in minutes).  Math-identical to the scan sampler
+    (exactness-tested in tests/test_pipeline.py)."""
+    base = ddpm_schedule or D.make_ddpm_schedule()
+    sched = make_dpm_schedule(base, num_steps)
+    timesteps = jnp.asarray(sched.timesteps, jnp.float32)
+    if guidance_scale not in (None, 1.0):
+        raise NotImplementedError(
+            "the host-loop stepper targets the distilled CFG=1 path")
+
+    def init(noise):
+        return dpm_init(noise.astype(jnp.float32))
+
+    def step(state, i, text_embeds, rng):
+        krng = jax.random.fold_in(rng, i)
+        t = jnp.full(state.x.shape[:1], timesteps[i])
+        v = model_fn(state.x, t, text_embeds, krng)
+        xi = jax.random.normal(
+            jax.random.fold_in(krng, 1), state.x.shape, state.x.dtype
+        )
+        return dpm_step(sched, state, v, i, xi)
+
+    return init, step
 
 
 def sample_cogvideox(

@@ -5,7 +5,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from blade.sampling.pipeline import sample_wan, wan_stepper, wan_stepper_reuse
+from blade.sampling.pipeline import (
+    cog_stepper,
+    sample_cogvideox,
+    sample_wan,
+    wan_stepper,
+    wan_stepper_reuse,
+)
 
 
 def _toy_model(params):
@@ -80,6 +86,25 @@ def test_wan_stepper_reuse_matches_scan_sampler():
             state = jreuse(state, masks, jnp.asarray(i), text, rng)
     np.testing.assert_array_equal(np.asarray(state.x), np.asarray(ref))
     assert jrefresh._cache_size() == 1 and jreuse._cache_size() == 1
+
+
+def test_cog_stepper_matches_scan_exactly():
+    rng = jax.random.PRNGKey(7)
+    noise = jax.random.normal(jax.random.fold_in(rng, 1), (2, 3, 4, 8, 8))
+    text = jax.random.normal(jax.random.fold_in(rng, 2), (2, 7, 16))
+    fn = _toy_model({"w": 0.4})
+
+    ref = jax.jit(
+        lambda n, te: sample_cogvideox(fn, n, te, rng=rng, num_steps=8)
+    )(noise, text)
+
+    init, step = cog_stepper(fn, num_steps=8)
+    jstep = jax.jit(step)
+    state = init(noise)
+    for i in range(8):
+        state = jstep(state, jnp.asarray(i), text, rng)
+    np.testing.assert_array_equal(np.asarray(state.x), np.asarray(ref))
+    assert jstep._cache_size() == 1
 
 
 def test_wan_stepper_compiles_once():
