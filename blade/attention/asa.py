@@ -225,9 +225,16 @@ def adaptive_sparse_attention(
                 max(128, min(POOLED_TILE[lv],
                              -(-(bands[lv][1] * (128 // lv)) // 128) * 128))
                 for lv in (2, 4, 8))
+            # Static bands cap every row's per-level count at the band
+            # width, so when each band fits its tile the kernel can merge
+            # all levels into ONE MXU tile per row (single-shot lane).
+            single_shot = all(
+                t >= bands[lv][1] * (128 // lv)
+                for t, lv in zip(tiles, (2, 4, 8)))
             out, _ = multilevel_attention(
                 q, k, v, None, lists=lists, interpret=interpret,
-                q_rows=cfg.multilevel_q_rows, pooled_tiles=tiles)
+                q_rows=cfg.multilevel_q_rows, pooled_tiles=tiles,
+                pooled_single_shot=single_shot)
         else:
             # compute_mask / replayed masks carry their row granularity in
             # their shape: q_rows = ceil(n_128_rows / n_mask_rows) * 128.

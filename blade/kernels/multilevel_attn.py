@@ -341,6 +341,7 @@ def multilevel_attention(
     lists=None,
     q_rows: int = 128,
     pooled_tiles: Optional[Tuple[int, int, int]] = None,
+    pooled_single_shot: bool = False,
 ):
     """Multi-level pooled sparse attention over ``[B, H, L, D]``.
 
@@ -371,6 +372,16 @@ def multilevel_attention(
     the default widths (level 8's default 1024-wide tile wastes ~45% of
     its exp+matmul at the standard 25% band); exactness is unaffected
     (tail columns are masked either way).
+
+    ``pooled_single_shot``: fused path only.  The caller GUARANTEES that
+    every row's per-level count fits its pooled tile (count <= tile //
+    (128 // level), true for ``multilevel_lists`` static rank bands with
+    band-sized ``pooled_tiles``); the kernel then folds level-1's first
+    gather group and ALL pooled levels into ONE merged MXU tile per mask
+    row — one matmul + one softmax pass with a penalty-row bias, and
+    every gather list position a trace-time constant (no per-iteration
+    scalar address math).  Exact under the guarantee; counts exceeding a
+    tile would be silently truncated.
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -388,7 +399,8 @@ def multilevel_attention(
     if fused:
         return _multilevel_fused(q, k, v, levels, scale, interpret,
                                  lists=lists, q_rows=q_rows,
-                                 pooled_tiles=pooled_tiles)
+                                 pooled_tiles=pooled_tiles,
+                                 single_shot=pooled_single_shot)
 
     # Level-1 pass: exact per-block attention via the binary sparse kernel
     # at the ORIGINAL head dim (it lane-packs d=64 internally; pre-padding
@@ -502,6 +514,7 @@ def _fused_ml_kernel(
     pyr8_buf,  # pyramid EVERY grid step (~4 MB x 35 steps/bh at cog).
     sem, idx_sem, pyr_sem,
     *, scale, kv_valid_len, kv_pad_len, n_kt, sub_s, q_block, pooled_tiles,
+    single_shot=False,
 ):
     r_rows = FUSED_ROWS
     bh = pl.program_id(0)
@@ -581,7 +594,7 @@ def _fused_ml_kernel(
 
     d = q_ref.shape[-1]
     width1 = GROUP * KV_BLOCK
-    col1 = jax.lax.broadcasted_iota(jnp.int32, (q_block, width1), 1)
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (1, width1), 1)
     grp1 = col1 // KV_BLOCK
 
     @pl.when(step == 0)
@@ -591,11 +604,28 @@ def _fused_ml_kernel(
 
     pyr_refs = {2: pyr2_buf, 4: pyr4_buf, 8: pyr8_buf}
 
+    # Static pooled-level geometry: (level, list index, seg rows, MXU tile,
+    # segments per tile).  Shared by the per-level loops and the merged
+    # single-shot tile.
+    lv_geo = []
+    for li, level in enumerate((2, 4, 8), start=1):
+        seg_rows = KV_BLOCK // level
+        tile = max(128, min(pooled_tiles[level], seg_rows * n_kt))
+        lv_geo.append((level, li, seg_rows, tile, tile // seg_rows))
+
+    def l1_pen(t, count1, t_last1, lim1):
+        # [1, width1] penalty row: 0 on valid columns, NEG_INF on the count
+        # mask / padded-tail limit — ONE broadcast add into the score tile
+        # replaces the former [q_block, width1] compare+select passes.
+        ok = (GROUP * t + grp1) < count1
+        if kv_valid_len < kv_pad_len:
+            limit = jnp.where(t == t_last1, lim1, jnp.int32(width1))
+            ok = ok & (col1 < limit)
+        return jnp.where(ok, jnp.float32(0.0), jnp.float32(NEG_INF))
+
     for r in range(r_rows):
         q = q_ref[0, r * q_block:(r + 1) * q_block, :]
-        m0 = jnp.full((q_block, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((q_block, 1), jnp.float32)
-        acc0 = jnp.zeros((q_block, d), jnp.float32)
+        c = scale * LOG2E
 
         # Ascending lists put the (only possibly partial) boundary block
         # last, so padded-tail masking reduces to ONE column limit applied
@@ -606,6 +636,91 @@ def _fused_ml_kernel(
             count1, list_entry(r, 0, jnp.maximum(count1 - 1, 0)),
             KV_BLOCK, GROUP, n_kt - 1,
             kv_valid_len - (n_kt - 1) * KV_BLOCK, width1)
+
+        if single_shot:
+            # ---- merged tile: level-1 group 0 + ALL pooled levels in ONE
+            # matmul + ONE softmax pass (callers guarantee every pooled
+            # level's count fits its tile — static rank bands).  Gather
+            # list positions are trace-time constants, so the per-segment
+            # scalar address math collapses to one SMEM read + one
+            # multiply per segment.
+            g0 = base[r]
+            slot0 = jax.lax.rem(g0, NBUF)
+
+            # Rows with an empty level-1 list own NO gather group (the
+            # pipeline issues exactly sum(iters1) group fetches); waiting
+            # here would consume another row's semaphore signals.  The
+            # stale kvbuf data read below is fully masked by the penalty
+            # row (count1 == 0 => all level-1 columns NEG_INF).
+            @pl.when(count1 > 0)
+            def _consume_l1_group0():
+                for u in range(GROUP):
+                    kv_copy(slot0, g0, u).wait()
+
+            # Rows with an empty level-1 list own NO gather group, so the
+            # whole slot is stale bytes — possibly NaN patterns that a
+            # penalty ADD or a `* 0.0` validity factor cannot mask (NaN
+            # propagates through the p@V matmul).  A scalar-predicate
+            # select zeroes the tile; rows with count1 > 0 are fully real
+            # (list padding gathers block 0).
+            kv1t = jnp.where(count1 > 0, kvbuf[slot0],
+                             jnp.zeros((), kvbuf.dtype))  # [GROUP, KV_BLOCK, 2d]
+            parts = []
+            pens = [l1_pen(0, count1, t_last1, lim1)]
+            total_cnt = count1
+            for level, li, seg_rows, tile, segs in lv_geo:
+                pyr_ref = pyr_refs[level]
+                for u in range(segs):
+                    blk = list_entry(r, li, u)
+                    parts.append(pyr_ref[pl.ds(blk * seg_rows, seg_rows), :])
+                countp = cnt_ref[bh, (step * r_rows + r) * 4 + li]
+                total_cnt = total_cnt + countp
+                pooled_valid = -(-kv_valid_len // level)
+                t_lastp, limp = _tail_limit(
+                    countp, list_entry(r, li, jnp.maximum(countp - 1, 0)),
+                    seg_rows, segs, n_kt - 1,
+                    pooled_valid - (n_kt - 1) * seg_rows, tile)
+                colp = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+                okp = (colp // seg_rows) < countp
+                if kv_valid_len < kv_pad_len:
+                    limitp = jnp.where(t_lastp == 0, limp, jnp.int32(tile))
+                    okp = okp & (colp < limitp)
+                pens.append(jnp.where(
+                    okp, jnp.float32(math.log(level) * LOG2E),
+                    jnp.float32(NEG_INF)))
+            kvp = jnp.concatenate(parts, axis=0)  # [W, 2d]
+            kb = jnp.concatenate(
+                [kv1t[:, :, :d].reshape(width1, d), kvp[:, :d]], axis=0)
+            vb = jnp.concatenate(
+                [kv1t[:, :, d:].reshape(width1, d), kvp[:, d:]], axis=0)
+            s = jax.lax.dot_general(
+                q, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s2 = s * c + jnp.concatenate(pens, axis=1)
+            m = jnp.max(s2, axis=-1, keepdims=True)
+            p = jnp.exp2(s2 - m)
+            # All-empty rows (possible only without last-2 forcing) would
+            # see exp2(0) == 1 on every masked column; a scalar validity
+            # factor keeps (l, acc) exactly zero there.
+            valid = (total_cnt > 0).astype(jnp.float32)
+            l = jnp.sum(p, axis=-1, keepdims=True) * valid
+            acc = jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * valid
+
+            # Refill AFTER the kb/vb reads: g0 + NBUF lands in slot0.
+            @pl.when(count1 > 0)
+            def _refill_l1_group0():
+                prefetch(g0 + NBUF)
+
+            t_start = 1
+        else:
+            m = jnp.full((q_block, 1), NEG_INF, jnp.float32)
+            l = jnp.zeros((q_block, 1), jnp.float32)
+            acc = jnp.zeros((q_block, d), jnp.float32)
+            t_start = 0
 
         def body1(t, carry, r=r, count=count1, t_last1=t_last1, lim1=lim1):
             m, l, acc = carry
@@ -624,15 +739,10 @@ def _fused_ml_kernel(
             # (z = (s*scale + log(level)) * log2(e)) so every level's bias
             # and the softmax exp collapse into one broadcast-fma + exp2
             # pass per element (level 1: bias 0).
-            ok = (GROUP * t + grp1) < count
-            if kv_valid_len < kv_pad_len:
-                limit = jnp.where(t == t_last1, lim1, jnp.int32(width1))
-                ok = ok & (col1 < limit)
-            s = jnp.where(ok, s, NEG_INF)
-            c = scale * LOG2E
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True) * c)
+            s2 = s * c + l1_pen(t, count, t_last1, lim1)
+            m_new = jnp.maximum(m, jnp.max(s2, axis=-1, keepdims=True))
             alpha = jnp.exp2(m - m_new)
-            p = jnp.exp2(s * c - m_new)
+            p = jnp.exp2(s2 - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
@@ -642,10 +752,13 @@ def _fused_ml_kernel(
             prefetch(g + NBUF)
             return m_new, l, acc
 
-        m, l, acc = jax.lax.fori_loop(0, iters1[r], body1, (m0, l0, acc0))
+        m, l, acc = jax.lax.fori_loop(t_start, iters1[r], body1, (m, l, acc))
 
         # ---- pooled levels: register gathers from the resident pyramid ----
-        for li, level in enumerate((2, 4, 8), start=1):
+        # (single-shot already folded every pooled level into the merged
+        # tile above — running these loops again would double-count.)
+        for li, level in enumerate((2, 4, 8), start=1) if not single_shot \
+                else ():
             seg_rows = KV_BLOCK // level
             # No point tiling wider than the whole pooled pyramid (small
             # geometries/tests): clamp to n_kt blocks, 128-lane minimum.
@@ -772,7 +885,7 @@ def _masks_from_lists(idx_all, cnt_all, n_qt, n_kt, sub_s):
 
 
 def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
-                    q_rows=128, pooled_tiles=None):
+                    q_rows=128, pooled_tiles=None, single_shot=False):
     """Fused forward.  q: [BH, Lq_pad, d]; k/v: [BH, Lk_pad, d] (edge-padded
     originals); idx_all/cnt_all: packed per-level lists (see _pack_lists)."""
     bh, lq_pad, d = q.shape
@@ -831,6 +944,7 @@ def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
         q_block=q_block,
         pooled_tiles=POOLED_TILE if pooled_tiles is None
         else dict(zip((2, 4, 8), pooled_tiles)),
+        single_shot=single_shot,
     )
     out, lse8 = pl.pallas_call(
         kernel,
@@ -850,23 +964,25 @@ def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
     return out[:, :lq_out], lse8[:, 0, :lq_out]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15, 16))
 def _fused_ml_core(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all, cnt_all,
-                   scale, lk, interpret, q_rows, pooled_tiles=None):
+                   scale, lk, interpret, q_rows, pooled_tiles=None,
+                   single_shot=False):
     return _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
-                           q_rows, pooled_tiles)
+                           q_rows, pooled_tiles, single_shot)
 
 
 def _fused_ml_core_fwd(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all,
                        cnt_all, scale, lk, interpret, q_rows,
-                       pooled_tiles=None):
+                       pooled_tiles=None, single_shot=False):
     out, lse = _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk,
-                               interpret, q_rows, pooled_tiles)
+                               interpret, q_rows, pooled_tiles, single_shot)
     return (out, lse), (q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all,
                         cnt_all, out, lse)
 
 
-def _fused_ml_core_bwd(scale, lk, interpret, q_rows, pooled_tiles, res, g):
+def _fused_ml_core_bwd(scale, lk, interpret, q_rows, pooled_tiles,
+                       single_shot, res, g):
     """Direct multi-level backward: each level's grouped-gather dQ/dK/dV
     pass runs against the GLOBAL merged (out, lse) — p_ij = exp(s_ij - lse_i)
     already includes the cross-level softmax weights, so per-level passes
@@ -918,7 +1034,7 @@ _fused_ml_core.defvjp(_fused_ml_core_fwd, _fused_ml_core_bwd)
 
 
 def _multilevel_fused(q, k, v, levels, scale, interpret, lists=None,
-                      q_rows=128, pooled_tiles=None):
+                      q_rows=128, pooled_tiles=None, single_shot=False):
     """Build pads + pooled pyramids and invoke the fused single-pass core.
 
     Pooling stays OUTSIDE the custom-VJP boundary so XLA autodiff handles
@@ -962,7 +1078,7 @@ def _multilevel_fused(q, k, v, levels, scale, interpret, lists=None,
         idx_all, cnt_all = _lists_from_levels(levels_bh, sub_s)
     out, lse = _fused_ml_core(
         flat(qp), flat(kp_full), flat(vp_full), *pooled, idx_all, cnt_all,
-        scale, lk, interpret, q_rows, pooled_tiles,
+        scale, lk, interpret, q_rows, pooled_tiles, single_shot,
     )
     out = out.reshape(b, h, lq_pad, d)[:, :, :lq]
     lse = lse.reshape(b, h, lq_pad)[:, :, :lq]

@@ -189,6 +189,75 @@ def test_fused_pooled_tiles_exact():
                                atol=1e-6, rtol=1e-6)
 
 
+def _band_tiles(nk):
+    bands = M.multilevel_rank_bands(nk)
+    return tuple(
+        max(128, -(-(bands[lv][1] * (128 // lv)) // 128) * 128)
+        for lv in (2, 4, 8))
+
+
+def test_fused_single_shot_matches_looped():
+    """Merged single-tile lane == per-level loops, exactly (same list
+    inputs, band-sized tiles satisfying the count<=tile guarantee).
+    Covers forced last-2 rows (count1 > GROUP loops past the merged
+    tile) and the padded-tail boundary block."""
+    for l, seed in ((512, 30), (450, 31)):
+        q, k, v = _qkv(jax.random.PRNGKey(seed), l=l)
+        nq = nk = -(-l // 128)
+        scores = jax.random.uniform(jax.random.PRNGKey(seed + 50),
+                                    (1, 2, nq, nk))
+        idx, cnt = M.multilevel_lists(scores, cap=128)
+        tiles = _band_tiles(nk)
+        out_s, lse_s = multilevel_attention(
+            q, k, v, None, lists=(idx, cnt), interpret=True, fused=True,
+            pooled_tiles=tiles, pooled_single_shot=True)
+        out_l, lse_l = multilevel_attention(
+            q, k, v, None, lists=(idx, cnt), interpret=True, fused=True,
+            pooled_tiles=tiles)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_l),
+                                   atol=2e-6, rtol=2e-6, err_msg=f"l={l}")
+        np.testing.assert_allclose(np.asarray(lse_s), np.asarray(lse_l),
+                                   atol=2e-6, rtol=2e-6, err_msg=f"l={l}")
+
+
+def test_fused_single_shot_empty_rows():
+    """A row with zero blocks at EVERY level (no forcing) must come out
+    exactly zero with lse == NEG_INF — the merged tile's all-masked
+    softmax is neutralized by the scalar validity factor."""
+    q, k, v = _qkv(jax.random.PRNGKey(33), l=512)
+    idx = jnp.zeros((1, 2, 4, 4, 128), jnp.int32)
+    cnt = jnp.zeros((1, 2, 4, 4), jnp.int32)
+    # row 0 gets a normal selection; rows 1-3 stay fully empty
+    idx = idx.at[..., 0, 0, 0].set(1)
+    cnt = cnt.at[..., 0, 0].set(1)
+    out, lse = multilevel_attention(
+        q, k, v, None, lists=(idx, cnt), interpret=True, fused=True,
+        pooled_tiles=(128, 128, 128), pooled_single_shot=True)
+    np.testing.assert_array_equal(
+        np.asarray(out[:, :, 128:]), np.zeros_like(np.asarray(out[:, :, 128:])))
+    assert np.all(np.asarray(lse[:, :, 128:]) <= -1e29)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fused_single_shot_matches_on_multirow_l1():
+    """q_rows=256 + single-shot against the composition oracle."""
+    q, k, v = _qkv(jax.random.PRNGKey(35), l=1024)
+    nk = 8
+    scores = jax.random.uniform(jax.random.PRNGKey(36), (1, 2, 4, nk))
+    idx, cnt = M.multilevel_lists(scores, cap=128)
+    levels256 = M.multilevel_mask(scores)
+    levels128 = jnp.repeat(levels256, 2, axis=-2)
+    out_s, lse_s = multilevel_attention(
+        q, k, v, None, lists=(idx, cnt), interpret=True, fused=True,
+        q_rows=256, pooled_tiles=_band_tiles(nk), pooled_single_shot=True)
+    out_c, lse_c = multilevel_attention(
+        q, k, v, levels128, interpret=True, fused=False)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_c),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(lse_s), np.asarray(lse_c),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_fused_lists_gradients():
     q, k, v = _qkv(jax.random.PRNGKey(23), l=512)
     scores = jax.random.uniform(jax.random.PRNGKey(24), (1, 2, 4, 4))
