@@ -117,6 +117,118 @@ def _bench_e2e_reuse(pipe, dit_params, init, noise, embeds, rng, every=4):
     return {f"e2e_denoise8_sparse_reuse{every}_s": round(min(runs), 3)}
 
 
+def bench_cog_e2e():
+    """CogVideoX-5B 8-step denoise throughput — subprocess for the same
+    isolation reasons as :func:`bench_e2e`."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--e2e-cog"],
+        capture_output=True, text=True, timeout=7200,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    tail = (proc.stdout + proc.stderr)[-300:]
+    return {"cog_e2e_error": f"subprocess rc={proc.returncode}: {tail}"}
+
+
+def bench_cog_e2e_impl():
+    """8-step CogVideoX-5B 480p denoise, sparse (multilevel ASA) vs dense.
+
+    CogVideoX-5B is 10.6 GB in bf16 — an on-device f32 flax init (20 GB)
+    OOMs the 16 GB chip and shipping host-initialized weights through the
+    dev tunnel (~5 MB/s) takes half an hour.  Random weights are for
+    timing only, and multilevel rank bands make the sparse path's compute
+    input-independent (static per-level counts), so the params are
+    generated DIRECTLY on device in bf16 from an ``eval_shape`` of the
+    real flax init (exact tree/shapes, N(0, 0.02) values).  Decode is
+    excluded (the VAE cost is family-independent and measured in the wan
+    e2e); reported numbers are denoise-only.
+    """
+    from blade.config import COGVIDEOX_480P
+    from blade.sampling.pipeline import cog_stepper
+    from blade.sampling.t2v import T2VPipeline
+    from blade.schedulers.ddpm import make_ddpm_schedule
+
+    preset = COGVIDEOX_480P
+    rng = jax.random.PRNGKey(0)
+    out = {}
+
+    pipes = {
+        "sparse": T2VPipeline(preset, None, None, sparse=True,
+                              mask_mode="multilevel", interpret=False),
+        "dense": T2VPipeline(preset, None, None, sparse=False,
+                             interpret=False),
+    }
+    # ASA carries no parameters, so one tree serves both modules.  Full
+    # latent shape: the model-level gilbert token_perm is baked for the
+    # preset geometry (eval_shape never executes, so this is free).
+    lat_s = jax.ShapeDtypeStruct(pipes["dense"].latent_shape(1),
+                                 jnp.bfloat16)
+    text_s = jax.ShapeDtypeStruct(
+        (1, preset.max_text_len, preset.text.d_model), jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda r, lat, text: pipes["dense"].dit.init(
+            r, lat, jnp.ones((1,)), text, attn_kwargs={"rng": r}),
+        rng, lat_s, text_s)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def make_params(key):
+        outs = [
+            jax.random.normal(jax.random.fold_in(key, i), s.shape,
+                              jnp.bfloat16) * 0.02
+            for i, s in enumerate(leaves)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, outs)
+
+    params = make_params(jax.random.fold_in(rng, 1))
+    embeds = jax.random.normal(
+        jax.random.fold_in(rng, 2),
+        (1, preset.max_text_len, preset.text.d_model), jnp.bfloat16)
+    sched = make_ddpm_schedule(
+        snr_shift_scale=preset.snr_shift_scale,
+        rescale_betas_zero_snr=preset.rescale_betas_zero_snr)
+    step_ms = {}
+    for name, pipe in pipes.items():
+        def step_p(params, state, i, te, r, pipe=pipe):
+            def mf(x, tt, tee, rr):
+                return pipe.dit.apply(params, x, tt, tee,
+                                      attn_kwargs={"rng": rr})
+
+            _, st = cog_stepper(mf, num_steps=8, ddpm_schedule=sched)
+            return st(state, i, te, r)
+
+        init, _ = cog_stepper(lambda *a: None, num_steps=8,
+                              ddpm_schedule=sched)
+        jstep = jax.jit(step_p)
+        noise = jax.random.normal(
+            jax.random.fold_in(rng, 3), pipe.latent_shape(1), jnp.float32
+        ).astype(pipe.dtype)
+        state = jstep(params, init(noise), jnp.asarray(0), embeds, rng)
+        jax.device_get(state.x)  # compile + first run
+
+        runs = []
+        for _ in range(2):
+            state = init(noise)
+            t0 = time.perf_counter()
+            for i in range(8):
+                state = jstep(params, state, jnp.asarray(i), embeds, rng)
+            jax.device_get(state.x)
+            runs.append(time.perf_counter() - t0)
+        step_ms[name] = min(runs) / 8 * 1e3
+        out[f"cog_e2e_denoise8_{name}_s"] = round(min(runs), 3)
+        out[f"cog_e2e_{name}_step_ms"] = round(step_ms[name], 1)
+        jstep = state = None
+
+    out["cog_e2e_denoise_speedup"] = round(
+        step_ms["dense"] / step_ms["sparse"], 3)
+    out["cog_e2e_speedup_vs_50step_dense_denoise"] = round(
+        50 * step_ms["dense"] / (8 * step_ms["sparse"]), 2)
+    return out
+
+
 def bench_e2e_impl():
     """The actual e2e measurement (runs as ``bench.py --e2e``).
 
@@ -407,6 +519,12 @@ def main():
     except Exception as e:  # e2e must never kill the headline line
         extra["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    try:
+        if os.environ.get("BLADE_BENCH_E2E_COG", "1") not in ("0", "off"):
+            extra.update(bench_cog_e2e())
+    except Exception as e:
+        extra["cog_e2e_error"] = f"{type(e).__name__}: {e}"[:200]
+
     speedup = t_dense / t_full
     result = {
         "metric": "asa_full_path_speedup_vs_dense_wan480p",
@@ -425,5 +543,10 @@ if __name__ == "__main__":
 
         _enable_cache()
         print(json.dumps(bench_e2e_impl()))
+    elif "--e2e-cog" in sys.argv:
+        from blade.utils.compile_cache import enable as _enable_cache
+
+        _enable_cache()
+        print(json.dumps(bench_cog_e2e_impl()))
     else:
         main()
