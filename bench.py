@@ -78,10 +78,12 @@ def _bench_e2e_reuse(pipe, dit_params, init, noise, embeds, rng, every=4):
         if masks is not None:
             akw["masks"] = masks
         if collect_mask:
+            from blade.attention.integration import extract_attn_aux
+
             o, st = pipe.dit.apply(
                 params, x, t, te, attn_kwargs=dict(akw, collect_mask=True),
                 mutable=["intermediates"])
-            return o, jax.tree_util.tree_leaves(st["intermediates"])[0]
+            return o, extract_attn_aux(st["intermediates"])
         return pipe.dit.apply(params, x, t, te, attn_kwargs=akw)
 
     def refresh_p(params, state, i, te, r):
@@ -131,6 +133,58 @@ def bench_cog_e2e():
             continue
     tail = (proc.stdout + proc.stderr)[-300:]
     return {"cog_e2e_error": f"subprocess rc={proc.returncode}: {tail}"}
+
+
+def _bench_cog_e2e_reuse(pipe, params, init, noise, embeds, rng, sched,
+                         every=4):
+    """Mask reuse on the cog denoise loop (mirrors :func:`_bench_e2e_reuse`;
+    skips the predictor + multilevel-lists build on replay steps)."""
+    from blade.sampling.pipeline import cog_stepper_reuse
+
+    def model_fn_p(params, x, t, te, r, masks=None, collect_mask=False):
+        akw = {"rng": r}
+        if masks is not None:
+            akw["masks"] = masks
+        if collect_mask:
+            from blade.attention.integration import extract_attn_aux
+
+            o, st = pipe.dit.apply(
+                params, x, t, te, attn_kwargs=dict(akw, collect_mask=True),
+                mutable=["intermediates"])
+            return o, extract_attn_aux(st["intermediates"])
+        return pipe.dit.apply(params, x, t, te, attn_kwargs=akw)
+
+    def refresh_p(params, state, i, te, r):
+        _, rf, _ = cog_stepper_reuse(
+            lambda x, t, tee, rr, **kw: model_fn_p(params, x, t, tee, rr, **kw),
+            num_steps=8, ddpm_schedule=sched)
+        return rf(state, i, te, r)
+
+    def reuse_p(params, state, masks, i, te, r):
+        _, _, ru = cog_stepper_reuse(
+            lambda x, t, tee, rr, **kw: model_fn_p(params, x, t, tee, rr, **kw),
+            num_steps=8, ddpm_schedule=sched)
+        return ru(state, masks, i, te, r)
+
+    jrefresh = jax.jit(refresh_p)
+    jreuse = jax.jit(reuse_p)
+    st, mk = jrefresh(params, init(noise), jnp.asarray(0), embeds, rng)
+    st = jreuse(params, st, mk, jnp.asarray(1), embeds, rng)
+    jax.device_get(st.x)  # compile both variants + first runs
+
+    runs = []
+    for _ in range(2):
+        st = init(noise)
+        mk = None
+        t0 = time.perf_counter()
+        for i in range(8):
+            if i % every == 0:
+                st, mk = jrefresh(params, st, jnp.asarray(i), embeds, rng)
+            else:
+                st = jreuse(params, st, mk, jnp.asarray(i), embeds, rng)
+        jax.device_get(st.x)
+        runs.append(time.perf_counter() - t0)
+    return {f"cog_e2e_denoise8_sparse_reuse{every}_s": round(min(runs), 3)}
 
 
 def bench_cog_e2e_impl():
@@ -220,6 +274,14 @@ def bench_cog_e2e_impl():
         step_ms[name] = min(runs) / 8 * 1e3
         out[f"cog_e2e_denoise8_{name}_s"] = round(min(runs), 3)
         out[f"cog_e2e_{name}_step_ms"] = round(step_ms[name], 1)
+
+        if name == "sparse" and os.environ.get(
+                "BLADE_BENCH_E2E_REUSE", "1") not in ("0", "off"):
+            try:
+                out.update(_bench_cog_e2e_reuse(
+                    pipe, params, init, noise, embeds, rng, sched))
+            except Exception as e:
+                out["cog_e2e_reuse_error"] = f"{type(e).__name__}: {e}"[:200]
         jstep = state = None
 
     out["cog_e2e_denoise_speedup"] = round(

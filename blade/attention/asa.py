@@ -163,6 +163,46 @@ def _coarsen_scores(scores, cfg: ASAConfig):
         *scores.shape[:-2], -1, g, scores.shape[-1]).mean(-2)
 
 
+def _fused_lane_params(cfg: "ASAConfig", k_len: int):
+    """(cap, pooled_tiles, single_shot) for the fused lists lane.
+
+    Rank-band widths are static, so each pooled level's MXU tile can be
+    sized to its band (the default tile widths waste up to ~45% of the
+    level-8 exp+matmul on masked tail columns), and when every band fits
+    its tile the kernel can merge all levels into ONE MXU tile per row
+    (single-shot lane)."""
+    from blade.kernels.multilevel_attn import KV_BLOCK, POOLED_TILE
+
+    n_kt = -(-k_len // KV_BLOCK)
+    cap = -(-n_kt // 128) * 128
+    bands = M.multilevel_rank_bands(n_kt, cfg.mask_ratios)
+    tiles = tuple(
+        max(128, min(POOLED_TILE[lv],
+                     -(-(bands[lv][1] * (128 // lv)) // 128) * 128))
+        for lv in (2, 4, 8))
+    single_shot = all(
+        t >= bands[lv][1] * (128 // lv)
+        for t, lv in zip(tiles, (2, 4, 8)))
+    return cap, tiles, single_shot
+
+
+def _fused_lane_supported(cfg: "ASAConfig", q, k) -> bool:
+    from blade.kernels.multilevel_attn import fused_supported
+
+    return cfg.mask_mode == "multilevel" and fused_supported(
+        q.shape[-1], k.shape[2], jnp.dtype(q.dtype).itemsize)
+
+
+def compute_lists(rng, q, k, cfg: ASAConfig):
+    """Per-level block lists for the fused multilevel lane — the reusable
+    mask artifact on this path (carrying LISTS instead of an int level
+    mask keeps refresh AND replay steps off the mask->lists re-argsort
+    glue; see ``multilevel_lists``)."""
+    scores = _coarsen_scores(predict_block_scores(rng, q, k, cfg), cfg)
+    cap, _, _ = _fused_lane_params(cfg, k.shape[2])
+    return M.multilevel_lists(scores, cfg.mask_ratios, cap=cap)
+
+
 def compute_mask(rng, q, k, cfg: ASAConfig):
     """The data-dependent mask for (q, k): multilevel int levels or the
     boolean energy mask (both derivable from the pooled score estimate).
@@ -204,33 +244,17 @@ def adaptive_sparse_attention(
     ``1 - mask.mean() - 1/sample_gap``.
     """
     if cfg.mask_mode == "multilevel":
-        from blade.kernels.multilevel_attn import KV_BLOCK, fused_supported
-
-        if mask is None and fused_supported(
-                q.shape[-1], k.shape[2], jnp.dtype(q.dtype).itemsize):
-            # Fused fast lane: per-level lists straight from the score
-            # ranking (one argsort + short band sorts) — skips the level
-            # mask and its four re-sorting round-trips entirely.
-            scores = _coarsen_scores(predict_block_scores(rng, q, k, cfg), cfg)
-            n_kt = -(-k.shape[2] // KV_BLOCK)
-            cap = -(-n_kt // 128) * 128
-            lists = M.multilevel_lists(scores, cfg.mask_ratios, cap=cap)
-            # Rank-band widths are static, so each pooled level's MXU tile
-            # can be sized to its band (the default tile widths waste up to
-            # ~45% of the level-8 exp+matmul on masked tail columns).
-            from blade.kernels.multilevel_attn import POOLED_TILE
-
-            bands = M.multilevel_rank_bands(n_kt, cfg.mask_ratios)
-            tiles = tuple(
-                max(128, min(POOLED_TILE[lv],
-                             -(-(bands[lv][1] * (128 // lv)) // 128) * 128))
-                for lv in (2, 4, 8))
-            # Static bands cap every row's per-level count at the band
-            # width, so when each band fits its tile the kernel can merge
-            # all levels into ONE MXU tile per row (single-shot lane).
-            single_shot = all(
-                t >= bands[lv][1] * (128 // lv)
-                for t, lv in zip(tiles, (2, 4, 8)))
+        # Fused fast lane: per-level lists straight from the score ranking
+        # (one argsort + short band sorts) — skips the level mask and its
+        # four re-sorting round-trips entirely.  ``mask`` may be a replayed
+        # (idx, counts) lists tuple (the artifact asa_attention collects on
+        # this lane), keeping replay steps equally fast.
+        lists = tuple(mask) if isinstance(mask, (tuple, list)) else None
+        if lists is None and mask is None and _fused_lane_supported(
+                cfg, q, k):
+            lists = compute_lists(rng, q, k, cfg)
+        if lists is not None:
+            _, tiles, single_shot = _fused_lane_params(cfg, k.shape[2])
             out, _ = multilevel_attention(
                 q, k, v, None, lists=lists, interpret=interpret,
                 q_rows=cfg.multilevel_q_rows, pooled_tiles=tiles,
@@ -303,6 +327,12 @@ def asa_attention(
     segment first (CogVideoX layout; ``text_length == 0`` for Wan).
     ``mask``/``return_mask`` support cross-step mask reuse: masks live in
     arranged-token coordinates.  Returns ``(out, sparsity[, mask])``.
+
+    On the fused multilevel lane the mask artifact is the per-level
+    ``(idx, counts)`` LISTS tuple rather than an int level mask — both
+    fresh and replayed steps then run the lists fast lane (an int mask
+    would force the generic mask->lists re-argsort glue, ~8-11 ms/layer
+    at CogVideoX geometry).
     """
     rearrange = cfg.use_rearrange and not cfg.pre_arranged
     if rearrange:
@@ -311,7 +341,10 @@ def asa_attention(
         k = gilbert.rearrange_tokens(k, perm, cfg.text_length)
         v = gilbert.rearrange_tokens(v, perm, cfg.text_length)
     if mask is None:
-        mask = compute_mask(rng, q, k, cfg)
+        if _fused_lane_supported(cfg, q, k):
+            mask = compute_lists(rng, q, k, cfg)
+        else:
+            mask = compute_mask(rng, q, k, cfg)
     out, sparsity = adaptive_sparse_attention(
         rng, q, k, v, cfg, interpret=interpret, mask=mask
     )

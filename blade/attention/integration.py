@@ -19,7 +19,28 @@ import jax.numpy as jnp
 
 from blade.attention.asa import ASAConfig, asa_attention
 
-__all__ = ["make_asa_attention_fn", "asa_model_kwargs"]
+__all__ = ["make_asa_attention_fn", "asa_model_kwargs", "extract_attn_aux"]
+
+
+def extract_attn_aux(intermediates):
+    """The per-layer mask artifact out of a flax intermediates tree.
+
+    The models sow the attention aux under ``"attn_aux"`` (stacked over
+    layers by ``nn.scan``); flax additionally wraps each sown value in a
+    1-tuple.  The aux itself is a pytree — a single mask array (energy /
+    generic multilevel) or an (idx, counts) lists tuple (fused multilevel
+    lane) — so callers must NOT assume one leaf."""
+    from collections.abc import Mapping
+
+    if isinstance(intermediates, Mapping):
+        if "attn_aux" in intermediates:
+            v = intermediates["attn_aux"]
+            return v[0] if isinstance(v, tuple) and len(v) == 1 else v
+        for child in intermediates.values():
+            found = extract_attn_aux(child)
+            if found is not None:
+                return found
+    return None
 
 
 def asa_model_kwargs(
@@ -77,8 +98,11 @@ def make_asa_attention_fn(
         rng = jax.random.fold_in(rng, layer_index)
         # Cross-step mask reuse: `masks` is a per-layer stack [L, ...]
         # computed earlier (collect_mask=True returns (out, mask) so the
-        # model can sow it); see sampling/pipeline.sample_wan.
-        mask = None if masks is None else masks[layer_index]
+        # model can sow it); see sampling/pipeline.sample_wan.  The
+        # artifact is a pytree: a bool/int mask array (energy / generic
+        # multilevel) or an (idx, counts) lists tuple (fused lane).
+        mask = None if masks is None else jax.tree_util.tree_map(
+            lambda a: a[layer_index], masks)
         out, sparsity, mask = asa_attention(
             rng, q, k, v, asa_cfg, interpret=interpret, mask=mask,
             return_mask=True,

@@ -91,13 +91,23 @@ def predictor_recall(rng, q, k, cfg: ASAConfig) -> Dict[str, float]:
 def mask_density_stats(masks) -> Dict[str, float]:
     """Distribution summary over a stack of collected per-layer masks.
 
-    ``masks``: [L, B, H, nq, nk] bool (energy) or int levels (multilevel).
+    ``masks``: [L, B, H, nq, nk] bool (energy) or int levels (multilevel),
+    or the fused lane's (idx [L,B,H,nq,4,cap], counts [L,B,H,nq,4]) lists
+    tuple — effective compute density is then ``sum_level count/level``
+    over the key-block count.
     """
-    m = np.asarray(masks)
-    if m.dtype == np.bool_:
-        per = m.mean(axis=(-1, -2))  # [L, B, H]
+    if isinstance(masks, (tuple, list)):
+        idx, cnt = (np.asarray(a) for a in masks)
+        n_k = int(idx.max()) + 1  # lists hold in-range block ids
+        levels = np.asarray([1, 2, 4, 8], np.float32)
+        per = (cnt / levels).sum(-1).mean(-1) / n_k  # [L, B, H]
     else:
-        per = np.where(m > 0, 1.0 / np.maximum(m, 1), 0.0).mean(axis=(-1, -2))
+        m = np.asarray(masks)
+        if m.dtype == np.bool_:
+            per = m.mean(axis=(-1, -2))  # [L, B, H]
+        else:
+            per = np.where(
+                m > 0, 1.0 / np.maximum(m, 1), 0.0).mean(axis=(-1, -2))
     return {
         "mean": float(per.mean()),
         "p10": float(np.percentile(per, 10)),

@@ -185,7 +185,7 @@ def main():
             lambda x, t, te: pipe.model_fn()(x, t, te, rng,
                                              collect_mask=True)
         )(noise, t0, text_embeds)
-        stats = mask_density_stats(np.asarray(masks))
+        stats = mask_density_stats(jax.tree_util.tree_map(np.asarray, masks))
         path = os.path.join(args.output_dir, "density_stats.json")
         with open(path, "w") as f:
             json.dump(stats, f, indent=1)

@@ -25,7 +25,8 @@ from blade.schedulers.cogvideox_dpm import (
 )
 
 __all__ = ["sample_wan", "sample_cogvideox", "ddim_trajectory_sampler",
-           "wan_stepper", "cog_stepper"]
+           "wan_stepper", "cog_stepper", "wan_stepper_reuse",
+           "cog_stepper_reuse"]
 
 ModelFn = Callable[..., jnp.ndarray]  # (latents, timestep[B], rng) -> prediction
 
@@ -118,7 +119,8 @@ def sample_wan(
             )
             return (F.unipc_step(sched, state, v, i), masks), None
 
-        masks0 = jnp.zeros(mask_sd.shape, mask_sd.dtype)
+        masks0 = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), mask_sd)
         (state, _), _ = jax.lax.scan(
             body, (F.unipc_init(noise), masks0), jnp.arange(num_steps)
         )
@@ -252,6 +254,48 @@ def cog_stepper(
     return init, step
 
 
+def cog_stepper_reuse(
+    model_fn: ModelFn,
+    *,
+    num_steps: int = 8,
+    ddpm_schedule: Optional[D.DDPMSchedule] = None,
+):
+    """Mask-reuse variant of :func:`cog_stepper`: returns
+    ``(init, refresh, reuse)`` — same protocol and rationale as
+    :func:`wan_stepper_reuse` (each variant is one one-forward compile
+    unit; the host loop picks refresh/reuse per step).  Math matches
+    ``sample_cogvideox(mask_refresh_every=n)`` when the host calls
+    refresh at ``i % n == 0`` (exactness-tested in
+    tests/test_pipeline.py)."""
+    base = ddpm_schedule or D.make_ddpm_schedule()
+    sched = make_dpm_schedule(base, num_steps)
+    timesteps = jnp.asarray(sched.timesteps, jnp.float32)
+
+    def init(noise):
+        return dpm_init(noise.astype(jnp.float32))
+
+    def refresh(state, i, text_embeds, rng):
+        krng = jax.random.fold_in(rng, i)
+        t = jnp.full(state.x.shape[:1], timesteps[i])
+        v, masks = model_fn(state.x, t, text_embeds, krng,
+                            collect_mask=True)
+        xi = jax.random.normal(
+            jax.random.fold_in(krng, 1), state.x.shape, state.x.dtype
+        )
+        return dpm_step(sched, state, v.astype(jnp.float32), i, xi), masks
+
+    def reuse(state, masks, i, text_embeds, rng):
+        krng = jax.random.fold_in(rng, i)
+        t = jnp.full(state.x.shape[:1], timesteps[i])
+        v = model_fn(state.x, t, text_embeds, krng, masks=masks)
+        xi = jax.random.normal(
+            jax.random.fold_in(krng, 1), state.x.shape, state.x.dtype
+        )
+        return dpm_step(sched, state, v.astype(jnp.float32), i, xi)
+
+    return init, refresh, reuse
+
+
 def sample_cogvideox(
     model_fn: ModelFn,
     noise: jnp.ndarray,
@@ -262,14 +306,60 @@ def sample_cogvideox(
     guidance_scale: float = 1.0,
     neg_text_embeds: Optional[jnp.ndarray] = None,
     ddpm_schedule: Optional[D.DDPMSchedule] = None,
+    mask_refresh_every: int = 0,
     return_trajectory: bool = False,
 ):
-    """v-prediction DPM++(2M) sampling with trailing spacing (CogVideoX)."""
+    """v-prediction DPM++(2M) sampling with trailing spacing (CogVideoX).
+
+    ``mask_refresh_every > 1`` enables VSA-style ASA mask reuse, same
+    semantics as :func:`sample_wan` (predict per-layer masks on refresh
+    steps via ``collect_mask``, replay in between)."""
     base = ddpm_schedule or D.make_ddpm_schedule()
     sched = make_dpm_schedule(base, num_steps)
     timesteps = jnp.asarray(sched.timesteps, jnp.float32)
     fn = _with_cfg(model_fn, guidance_scale, text_embeds, neg_text_embeds)
     noise = noise.astype(jnp.float32)
+
+    if mask_refresh_every and mask_refresh_every > 1:
+        if guidance_scale and guidance_scale != 1.0:
+            raise NotImplementedError(
+                "mask reuse is wired for the distilled CFG=1 path; "
+                "guided sampling recomputes masks per call"
+            )
+        _, mask_sd = jax.eval_shape(
+            lambda x, t, r: model_fn(x, t, text_embeds, r,
+                                     collect_mask=True),
+            noise, jnp.full(noise.shape[:1], timesteps[0]), rng,
+        )
+
+        def body(carry, i):
+            state, masks = carry
+            t = jnp.full(noise.shape[:1], timesteps[i])
+            krng = jax.random.fold_in(rng, i)
+
+            def refresh(_):
+                v, new_masks = model_fn(state.x, t, text_embeds, krng,
+                                        collect_mask=True)
+                return v.astype(jnp.float32), new_masks
+
+            def reuse(_):
+                v = model_fn(state.x, t, text_embeds, krng, masks=masks)
+                return v.astype(jnp.float32), masks
+
+            v, masks = jax.lax.cond(
+                i % mask_refresh_every == 0, refresh, reuse, None
+            )
+            xi = jax.random.normal(
+                jax.random.fold_in(krng, 1), state.x.shape, state.x.dtype
+            )
+            return (dpm_step(sched, state, v, i, xi), masks), None
+
+        masks0 = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), mask_sd)
+        (state, _), _ = jax.lax.scan(
+            body, (dpm_init(noise), masks0), jnp.arange(num_steps)
+        )
+        return state.x
 
     def body(carry, i):
         state = carry

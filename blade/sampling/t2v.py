@@ -81,14 +81,14 @@ class T2VPipeline:
             if masks is not None:
                 attn_kwargs["masks"] = masks
             if collect_mask:
+                from blade.attention.integration import extract_attn_aux
+
                 out, state = self.dit.apply(
                     self.dit_params, latents, timestep, text_embeds,
                     attn_kwargs=dict(attn_kwargs, collect_mask=True),
                     mutable=["intermediates"],
                 )
-                masks_out = jax.tree_util.tree_leaves(
-                    state["intermediates"])[0]
-                return out, masks_out
+                return out, extract_attn_aux(state["intermediates"])
             return self.dit.apply(
                 self.dit_params, latents, timestep, text_embeds,
                 attn_kwargs=attn_kwargs,

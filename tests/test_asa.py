@@ -217,3 +217,33 @@ def test_cog_model_level_arrangement_exact():
     m2 = CogVideoXModel(COGVIDEOX_TINY, dtype=jnp.float32, **kwargs)
     out = m2.apply(params, lat, t, txt, attn_kwargs={"rng": rng})
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_multilevel_lists_artifact_replay_exact():
+    """On the fused multilevel lane the reusable mask artifact is the
+    (idx, counts) lists tuple; replaying it (different rng, so the
+    predictor would pick different samples) reproduces the fresh output
+    bit-for-bit and never rebuilds lists from a level mask."""
+    cfg = ASAConfig(
+        latent_width=16, latent_height=8, latent_frames=8,
+        text_length=0, sample_gap=4, mask_mode="multilevel",
+        sample_tokens_per_block=16,
+    )
+    q, k, v = _qkv(jax.random.PRNGKey(20), cfg, d=64)
+    out1, _, art = asa_attention(
+        jax.random.PRNGKey(21), q, k, v, cfg, interpret=True,
+        return_mask=True)
+    assert isinstance(art, tuple) and len(art) == 2, type(art)
+    idx, cnt = art
+    assert idx.dtype == jnp.int32 and cnt.dtype == jnp.int32
+
+    out2, _ = asa_attention(
+        jax.random.PRNGKey(999), q, k, v, cfg, interpret=True, mask=art)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    # density telemetry understands the lists artifact (stacked per-layer)
+    from blade.attention.telemetry import mask_density_stats
+
+    stacked = jax.tree_util.tree_map(lambda a: a[None], art)
+    stats = mask_density_stats(stacked)
+    assert 0.0 < stats["mean"] <= 1.0

@@ -7,6 +7,7 @@ import numpy as np
 
 from blade.sampling.pipeline import (
     cog_stepper,
+    cog_stepper_reuse,
     sample_cogvideox,
     sample_wan,
     wan_stepper,
@@ -85,6 +86,36 @@ def test_wan_stepper_reuse_matches_scan_sampler():
         else:
             state = jreuse(state, masks, jnp.asarray(i), text, rng)
     np.testing.assert_array_equal(np.asarray(state.x), np.asarray(ref))
+    assert jrefresh._cache_size() == 1 and jreuse._cache_size() == 1
+
+
+def test_cog_stepper_reuse_matches_scan_sampler():
+    rng = jax.random.PRNGKey(9)
+    noise = jax.random.normal(jax.random.fold_in(rng, 1), (1, 4, 3, 8, 8))
+    text = jax.random.normal(jax.random.fold_in(rng, 2), (1, 7, 16))
+    fn = _toy_masked_model({"w": 0.5})
+    every = 3
+
+    ref = jax.jit(
+        lambda n, te: sample_cogvideox(fn, n, te, rng=rng, num_steps=8,
+                                       mask_refresh_every=every)
+    )(noise, text)
+
+    init, refresh, reuse = cog_stepper_reuse(fn, num_steps=8)
+    jrefresh = jax.jit(refresh)
+    jreuse = jax.jit(reuse)
+    state = init(noise)
+    masks = None
+    for i in range(8):
+        if i % every == 0:
+            state, masks = jrefresh(state, jnp.asarray(i), text, rng)
+        else:
+            state = jreuse(state, masks, jnp.asarray(i), text, rng)
+    # Not bit-exact: XLA fuses the dpm_step math differently around the
+    # scan's lax.cond than in the standalone step (f32 associativity,
+    # ~4e-7); logic errors (wrong/stale masks) show up at ~1e-2.
+    np.testing.assert_allclose(np.asarray(state.x), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)
     assert jrefresh._cache_size() == 1 and jreuse._cache_size() == 1
 
 
