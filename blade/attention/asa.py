@@ -163,19 +163,20 @@ def _coarsen_scores(scores, cfg: ASAConfig):
         *scores.shape[:-2], -1, g, scores.shape[-1]).mean(-2)
 
 
-def _fused_lane_params(cfg: "ASAConfig", k_len: int):
+def _fused_lane_params(k_len: int, mask_ratios=None):
     """(cap, pooled_tiles, single_shot) for the fused lists lane.
 
     Rank-band widths are static, so each pooled level's MXU tile can be
     sized to its band (the default tile widths waste up to ~45% of the
     level-8 exp+matmul on masked tail columns), and when every band fits
     its tile the kernel can merge all levels into ONE MXU tile per row
-    (single-shot lane)."""
+    (single-shot lane).  The single source of this geometry — profiling
+    scripts and tests import it rather than re-deriving the formula."""
     from blade.kernels.multilevel_attn import KV_BLOCK, POOLED_TILE
 
     n_kt = -(-k_len // KV_BLOCK)
     cap = -(-n_kt // 128) * 128
-    bands = M.multilevel_rank_bands(n_kt, cfg.mask_ratios)
+    bands = M.multilevel_rank_bands(n_kt, mask_ratios)
     tiles = tuple(
         max(128, min(POOLED_TILE[lv],
                      -(-(bands[lv][1] * (128 // lv)) // 128) * 128))
@@ -199,7 +200,7 @@ def compute_lists(rng, q, k, cfg: ASAConfig):
     mask keeps refresh AND replay steps off the mask->lists re-argsort
     glue; see ``multilevel_lists``)."""
     scores = _coarsen_scores(predict_block_scores(rng, q, k, cfg), cfg)
-    cap, _, _ = _fused_lane_params(cfg, k.shape[2])
+    cap, _, _ = _fused_lane_params(k.shape[2], cfg.mask_ratios)
     return M.multilevel_lists(scores, cfg.mask_ratios, cap=cap)
 
 
@@ -254,7 +255,8 @@ def adaptive_sparse_attention(
                 cfg, q, k):
             lists = compute_lists(rng, q, k, cfg)
         if lists is not None:
-            _, tiles, single_shot = _fused_lane_params(cfg, k.shape[2])
+            _, tiles, single_shot = _fused_lane_params(
+                k.shape[2], cfg.mask_ratios)
             out, _ = multilevel_attention(
                 q, k, v, None, lists=lists, interpret=interpret,
                 q_rows=cfg.multilevel_q_rows, pooled_tiles=tiles,

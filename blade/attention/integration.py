@@ -25,22 +25,43 @@ __all__ = ["make_asa_attention_fn", "asa_model_kwargs", "extract_attn_aux"]
 def extract_attn_aux(intermediates):
     """The per-layer mask artifact out of a flax intermediates tree.
 
-    The models sow the attention aux under ``"attn_aux"`` (stacked over
-    layers by ``nn.scan``); flax additionally wraps each sown value in a
-    1-tuple.  The aux itself is a pytree — a single mask array (energy /
-    generic multilevel) or an (idx, counts) lists tuple (fused multilevel
-    lane) — so callers must NOT assume one leaf."""
+    The models sow the attention aux under ``"attn_aux"``; flax wraps each
+    sown value in a 1-tuple.  Under ``nn.scan`` (the default) one sow site
+    carries a stacked ``[L, ...]`` leading axis; with ``scan_layers=False``
+    each layer sows at its own path (``blocks_0``, ``blocks_1``, ...) and
+    the per-layer artifacts are stacked here, in numeric layer order, to
+    the same ``[L, ...]`` contract.  The aux itself is a pytree — a single
+    mask array (energy / generic multilevel) or an (idx, counts) lists
+    tuple (fused multilevel lane) — so callers must NOT assume one leaf."""
+    import re
     from collections.abc import Mapping
 
-    if isinstance(intermediates, Mapping):
-        if "attn_aux" in intermediates:
-            v = intermediates["attn_aux"]
-            return v[0] if isinstance(v, tuple) and len(v) == 1 else v
-        for child in intermediates.values():
-            found = extract_attn_aux(child)
-            if found is not None:
-                return found
-    return None
+    found = []
+
+    def walk(node, name):
+        if not isinstance(node, Mapping):
+            return
+        if "attn_aux" in node:
+            v = node["attn_aux"]
+            found.append(
+                (name, v[0] if isinstance(v, tuple) and len(v) == 1 else v))
+        for k, child in node.items():
+            if k != "attn_aux":
+                walk(child, k)
+
+    walk(intermediates, "")
+    if not found:
+        return None
+    if len(found) == 1:
+        return found[0][1]
+
+    def layer_no(name):
+        m = re.search(r"(\d+)$", name)
+        return int(m.group(1)) if m else 0
+
+    found.sort(key=lambda t: layer_no(t[0]))
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[aux for _, aux in found])
 
 
 def asa_model_kwargs(

@@ -88,17 +88,22 @@ def predictor_recall(rng, q, k, cfg: ASAConfig) -> Dict[str, float]:
     }
 
 
-def mask_density_stats(masks) -> Dict[str, float]:
+def mask_density_stats(masks, n_k: int | None = None) -> Dict[str, float]:
     """Distribution summary over a stack of collected per-layer masks.
 
     ``masks``: [L, B, H, nq, nk] bool (energy) or int levels (multilevel),
     or the fused lane's (idx [L,B,H,nq,4,cap], counts [L,B,H,nq,4]) lists
     tuple — effective compute density is then ``sum_level count/level``
-    over the key-block count.
+    over the key-block count ``n_k``.  When ``n_k`` is omitted for a lists
+    artifact it is inferred as ``idx.max() + 1``, exact for the production
+    lane (``force_last2=True`` puts block ``n_k - 1`` in every level-1
+    list) but an undercount for ``force_last2=False`` artifacts whose
+    selections never touch the last block — pass ``n_k`` there.
     """
     if isinstance(masks, (tuple, list)):
         idx, cnt = (np.asarray(a) for a in masks)
-        n_k = int(idx.max()) + 1  # lists hold in-range block ids
+        if n_k is None:
+            n_k = int(idx.max()) + 1
         levels = np.asarray([1, 2, 4, 8], np.float32)
         per = (cnt / levels).sum(-1).mean(-1) / n_k  # [L, B, H]
     else:

@@ -117,14 +117,15 @@ def sample_wan(
             v, masks = jax.lax.cond(
                 i % mask_refresh_every == 0, refresh, reuse, None
             )
-            return (F.unipc_step(sched, state, v, i), masks), None
+            nxt = F.unipc_step(sched, state, v, i)
+            return (nxt, masks), (nxt.x if return_trajectory else None)
 
         masks0 = jax.tree_util.tree_map(
             lambda sd: jnp.zeros(sd.shape, sd.dtype), mask_sd)
-        (state, _), _ = jax.lax.scan(
+        (state, _), traj = jax.lax.scan(
             body, (F.unipc_init(noise), masks0), jnp.arange(num_steps)
         )
-        return state.x
+        return (state.x, traj) if return_trajectory else state.x
 
     def body(carry, i):
         state = carry
@@ -352,14 +353,15 @@ def sample_cogvideox(
             xi = jax.random.normal(
                 jax.random.fold_in(krng, 1), state.x.shape, state.x.dtype
             )
-            return (dpm_step(sched, state, v, i, xi), masks), None
+            nxt = dpm_step(sched, state, v, i, xi)
+            return (nxt, masks), (nxt.x if return_trajectory else None)
 
         masks0 = jax.tree_util.tree_map(
             lambda sd: jnp.zeros(sd.shape, sd.dtype), mask_sd)
-        (state, _), _ = jax.lax.scan(
+        (state, _), traj = jax.lax.scan(
             body, (dpm_init(noise), masks0), jnp.arange(num_steps)
         )
-        return state.x
+        return (state.x, traj) if return_trajectory else state.x
 
     def body(carry, i):
         state = carry

@@ -12,7 +12,8 @@ from blade.utils.compile_cache import enable as _enable_cache
 _enable_cache()
 
 from blade.attention import masks as M
-from blade.kernels.multilevel_attn import multilevel_attention, POOLED_TILE
+from blade.attention.asa import _fused_lane_params
+from blade.kernels.multilevel_attn import multilevel_attention
 from blade.utils.profiling import bench_fn
 
 
@@ -23,15 +24,13 @@ def main():
     k = jax.random.normal(jax.random.fold_in(rng, 2), (b, h, l, d), jnp.bfloat16)
     v = jax.random.normal(jax.random.fold_in(rng, 3), (b, h, l, d), jnp.bfloat16)
     nq = nk = -(-l // 128)
-    cap = -(-nk // 128) * 128
     scores = jax.random.uniform(jax.random.fold_in(rng, 4), (b, h, nq, nk))
 
-    bands = M.multilevel_rank_bands(nk)
-    tiles = tuple(
-        max(128, min(POOLED_TILE[lv],
-                     -(-(bands[lv][1] * (128 // lv)) // 128) * 128))
-        for lv in (2, 4, 8))
-    print("bands:", bands, "tiles:", tiles)
+    # The production lane's geometry — single source, keeps the microbench
+    # measuring the configuration that actually ships.
+    cap, tiles, single_shot_ok = _fused_lane_params(l)
+    assert single_shot_ok, "single-shot guarantee must hold at cog geometry"
+    print("tiles:", tiles)
 
     def run(q, k, v, sc, single_shot):
         if sc.shape[-2] % 2:

@@ -247,3 +247,28 @@ def test_multilevel_lists_artifact_replay_exact():
     stacked = jax.tree_util.tree_map(lambda a: a[None], art)
     stats = mask_density_stats(stacked)
     assert 0.0 < stats["mean"] <= 1.0
+
+
+def test_extract_attn_aux_scan_and_unscanned():
+    """extract_attn_aux: nn.scan's single stacked sow site passes through;
+    scan_layers=False sows one site per layer (blocks_0, blocks_1, ...,
+    blocks_10) which must stack in NUMERIC layer order to the same [L, ...]
+    contract — including tuple (lists) artifacts."""
+    from blade.attention.integration import extract_attn_aux
+
+    # scanned: one site, already [L, ...]
+    stacked = jnp.arange(6).reshape(3, 2)
+    assert (extract_attn_aux({"blocks": {"attn_aux": (stacked,)}})
+            == stacked).all()
+
+    # unscanned: 11 sites so lexicographic order ("blocks_10" < "blocks_2")
+    # would misplace layers
+    tree = {
+        f"blocks_{i}": {"attn_aux": ((jnp.full((2,), i),
+                                      jnp.full((1,), 10 * i)),)}
+        for i in range(11)
+    }
+    idx, cnt = extract_attn_aux(tree)
+    assert idx.shape == (11, 2) and cnt.shape == (11, 1)
+    np.testing.assert_array_equal(np.asarray(idx[:, 0]), np.arange(11))
+    np.testing.assert_array_equal(np.asarray(cnt[:, 0]), 10 * np.arange(11))

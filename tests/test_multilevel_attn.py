@@ -190,10 +190,11 @@ def test_fused_pooled_tiles_exact():
 
 
 def _band_tiles(nk):
-    bands = M.multilevel_rank_bands(nk)
-    return tuple(
-        max(128, -(-(bands[lv][1] * (128 // lv)) // 128) * 128)
-        for lv in (2, 4, 8))
+    # The production lane's band-sized tiles (single source in asa.py).
+    from blade.attention.asa import _fused_lane_params
+
+    _, tiles, _ = _fused_lane_params(nk * 128)
+    return tiles
 
 
 def test_fused_single_shot_matches_looped():
