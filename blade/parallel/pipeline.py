@@ -1,0 +1,167 @@
+"""GPipe-style pipeline parallelism (``pp``) over scan-stacked DiT blocks.
+
+Beyond-reference capability: the reference scales with ZeRO data
+parallelism only (``cogvideox/train/config.yaml``; SURVEY §2.6) — models
+that do not fit one accelerator are out of its scope.  TPU-native design:
+
+  * the block stack already lives as ONE scan-stacked parameter tree
+    (leading layer axis ``L``, from ``nn.scan`` — wan_dit.py /
+    cogvideox_dit.py), so sharding it over a ``pp`` mesh axis with
+    ``PartitionSpec('pp', ...)`` gives each stage a contiguous slice of
+    ``L/S`` layers with no re-packing;
+  * inside one ``jax.shard_map`` the classic GPipe schedule runs as a
+    single ``lax.scan`` over ``M + S - 1`` ticks: every tick each stage
+    applies its resident layers to its current microbatch activation and
+    forwards the result to the next stage with ``lax.ppermute`` — the
+    activation hop rides the ICI ring and overlaps with the next tick's
+    compute under XLA's latency-hiding scheduler;
+  * static shapes throughout (bubble ticks compute on don't-care data and
+    their outputs are never committed), so the whole pipeline is one XLA
+    program with no host round-trips.
+
+Bubble fraction is the textbook ``(S-1)/(M+S-1)``; pick
+``num_microbatches >= 4*S`` for <20% bubble.  Composes with ``dp`` (shard
+the microbatch batch dim over a second mesh axis) and with tensor
+parallelism inside ``block_fn``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["pipeline_blocks", "make_wan_block_fn"]
+
+
+def _leading_dim(tree) -> int:
+    sizes = {leaf.shape[0] for leaf in jax.tree_util.tree_leaves(tree)}
+    assert len(sizes) == 1, f"stacked params disagree on layer axis: {sizes}"
+    return sizes.pop()
+
+
+def pipeline_blocks(
+    block_fn: Callable,
+    stacked_params: Any,
+    x: jnp.ndarray,
+    broadcast: Sequence[Any] = (),
+    *,
+    per_sample: Sequence[jnp.ndarray] = (),
+    mesh: Mesh,
+    axis: str = "pp",
+    batch_axis: Optional[str] = None,
+    num_microbatches: Optional[int] = None,
+) -> jnp.ndarray:
+    """Apply ``L`` stacked layers to ``x`` as a pipeline over mesh ``axis``.
+
+    ``block_fn(layer_params, layer_idx, x, *per_sample, *broadcast) -> x``
+    is one block; ``stacked_params`` is a pytree whose leaves carry a
+    leading layer axis ``L`` (exactly what ``nn.scan`` produces).  ``x`` is
+    ``[B, ...]``; it is split into ``num_microbatches`` (default: the
+    stage count ``S``) along axis 0.  ``broadcast`` args are replicated
+    to every stage (rope tables); ``per_sample`` args carry a leading
+    batch dim (text context, time modulation) and are microbatched like
+    ``x`` — each stage indexes the slice matching the microbatch it is
+    processing this tick (``t - stage``), so conditioning stays aligned
+    with its activation without riding the ring.
+
+    With ``batch_axis`` set, ``x``'s batch dim is additionally sharded
+    over that mesh axis (pp x dp).  Exactness: each microbatch traverses
+    the layers in the same order as the serial ``nn.scan``, so the result
+    matches the unpipelined forward up to matmul batch-tiling noise.
+    """
+    S = mesh.shape[axis]
+    L = _leading_dim(stacked_params)
+    assert L % S == 0, f"num_layers {L} must divide over {S} pipeline stages"
+    B = x.shape[0]
+    M = num_microbatches or S
+    assert B % M == 0, f"batch {B} must divide into {M} microbatches"
+    layer_ids = jnp.arange(L, dtype=jnp.int32)
+    x_m = x.reshape((M, B // M) + x.shape[1:])
+    ps_m = tuple(
+        p.reshape((M, B // M) + p.shape[1:]) for p in per_sample
+    )
+
+    def _pp(params_loc, ids_loc, xmb, psmb, *bcast):
+        stage = jax.lax.axis_index(axis)
+        last = S - 1
+        perm = [(i, (i + 1) % S) for i in range(S)]
+
+        def _stage(x_in, ps_in):
+            def step(carry, pi):
+                p, i = pi
+                return block_fn(p, i, carry, *ps_in, *bcast), None
+
+            y, _ = jax.lax.scan(step, x_in, (params_loc, ids_loc))
+            return y
+
+        def tick(carry, t):
+            buf, outs = carry
+            # Microbatch this stage works on at tick t (clamped on bubble
+            # ticks, whose results are never committed).
+            mb = jnp.clip(t - stage, 0, M - 1)
+            feed = jax.lax.dynamic_index_in_dim(
+                xmb, jnp.minimum(t, M - 1), 0, keepdims=False
+            )
+            ps_in = tuple(
+                jax.lax.dynamic_index_in_dim(p, mb, 0, keepdims=False)
+                for p in psmb
+            )
+            y = _stage(jnp.where(stage == 0, feed, buf), ps_in)
+            # Commit on the last stage once the first microbatch arrives;
+            # bubble-tick outputs are computed but never written.
+            oidx = jnp.clip(t - last, 0, M - 1)
+            upd = jax.lax.dynamic_update_index_in_dim(outs, y, oidx, 0)
+            outs = jnp.where((stage == last) & (t >= last), upd, outs)
+            buf = jax.lax.ppermute(y, axis, perm)
+            return (buf, outs), None
+
+        buf0 = jnp.zeros_like(xmb[0])
+        outs0 = jnp.zeros_like(xmb)
+        (_, outs), _ = jax.lax.scan(
+            tick, (buf0, outs0), jnp.arange(M + S - 1)
+        )
+        # Only the last stage holds real outputs; replicate over the ring.
+        return jax.lax.psum(
+            jnp.where(stage == last, outs, jnp.zeros_like(outs)), axis
+        )
+
+    pspec = jax.tree_util.tree_map(
+        lambda l: P(axis, *([None] * (l.ndim - 1))), stacked_params
+    )
+    xspec = P(None, batch_axis)
+    psspec = tuple(xspec for _ in ps_m)
+    bspecs = tuple(
+        jax.tree_util.tree_map(lambda _: P(), b) for b in broadcast
+    )
+    fn = jax.shard_map(
+        _pp,
+        mesh=mesh,
+        in_specs=(pspec, P(axis), xspec, psspec) + bspecs,
+        out_specs=xspec,
+        check_vma=False,
+    )
+    out = fn(stacked_params, layer_ids, x_m, ps_m, *broadcast)
+    return out.reshape((B,) + x.shape[1:])
+
+
+def make_wan_block_fn(cfg, dtype=jnp.float32, attention_fn=None):
+    """``block_fn`` adapter for the Wan DiT block stack.
+
+    Returns ``block_fn(p, i, x, ctx, temb6, cos, sin)`` applying one
+    ``WanBlock`` functionally from its per-layer param slice — the shape
+    ``nn.scan`` stacks under ``params['blocks']``.  Use with
+    ``per_sample=(ctx, temb6)`` and ``broadcast=(cos, sin)``.
+    """
+    from blade.models.wan_dit import WanBlock, dense_attention_fn
+
+    attn = attention_fn or dense_attention_fn
+    blk = WanBlock(cfg, dtype, attn)
+
+    def block_fn(p, i, x, ctx, temb6, cos, sin):
+        y, _ = blk.apply({"params": p}, x, i, ctx, temb6, cos, sin, {})
+        return y
+
+    return block_fn
