@@ -15,6 +15,7 @@ from blade.parallel.mesh import (  # noqa: F401
     shard_params,
 )
 from blade.parallel.pipeline import (  # noqa: F401
+    make_cog_block_fn,
     make_wan_block_fn,
     pipeline_blocks,
 )

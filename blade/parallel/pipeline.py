@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["pipeline_blocks", "make_wan_block_fn"]
+__all__ = ["pipeline_blocks", "make_wan_block_fn", "make_cog_block_fn"]
 
 
 def _leading_dim(tree) -> int:
@@ -58,9 +58,11 @@ def pipeline_blocks(
 
     ``block_fn(layer_params, layer_idx, x, *per_sample, *broadcast) -> x``
     is one block; ``stacked_params`` is a pytree whose leaves carry a
-    leading layer axis ``L`` (exactly what ``nn.scan`` produces).  ``x`` is
-    ``[B, ...]``; it is split into ``num_microbatches`` (default: the
-    stage count ``S``) along axis 0.  ``broadcast`` args are replicated
+    leading layer axis ``L`` (exactly what ``nn.scan`` produces).  ``x``
+    is the scan carry — an array or a pytree of arrays (the CogVideoX
+    block carries ``(hidden, enc)``), every leaf ``[B, ...]``; it is
+    split into ``num_microbatches`` (default: the stage count ``S``)
+    along axis 0.  ``broadcast`` args are replicated
     to every stage (rope tables); ``per_sample`` args carry a leading
     batch dim (text context, time modulation) and are microbatched like
     ``x`` — each stage indexes the slice matching the microbatch it is
@@ -72,14 +74,15 @@ def pipeline_blocks(
     the layers in the same order as the serial ``nn.scan``, so the result
     matches the unpipelined forward up to matmul batch-tiling noise.
     """
+    tmap = jax.tree_util.tree_map
     S = mesh.shape[axis]
     L = _leading_dim(stacked_params)
     assert L % S == 0, f"num_layers {L} must divide over {S} pipeline stages"
-    B = x.shape[0]
+    B = _leading_dim(x)
     M = num_microbatches or S
     assert B % M == 0, f"batch {B} must divide into {M} microbatches"
     layer_ids = jnp.arange(L, dtype=jnp.int32)
-    x_m = x.reshape((M, B // M) + x.shape[1:])
+    x_m = tmap(lambda l: l.reshape((M, B // M) + l.shape[1:]), x)
     ps_m = tuple(
         p.reshape((M, B // M) + p.shape[1:]) for p in per_sample
     )
@@ -102,40 +105,54 @@ def pipeline_blocks(
             # Microbatch this stage works on at tick t (clamped on bubble
             # ticks, whose results are never committed).
             mb = jnp.clip(t - stage, 0, M - 1)
-            feed = jax.lax.dynamic_index_in_dim(
-                xmb, jnp.minimum(t, M - 1), 0, keepdims=False
+            feed = tmap(
+                lambda l: jax.lax.dynamic_index_in_dim(
+                    l, jnp.minimum(t, M - 1), 0, keepdims=False
+                ),
+                xmb,
             )
             ps_in = tuple(
                 jax.lax.dynamic_index_in_dim(p, mb, 0, keepdims=False)
                 for p in psmb
             )
-            y = _stage(jnp.where(stage == 0, feed, buf), ps_in)
+            y = _stage(
+                tmap(lambda f, b: jnp.where(stage == 0, f, b), feed, buf),
+                ps_in,
+            )
             # Commit on the last stage once the first microbatch arrives;
             # bubble-tick outputs are computed but never written.
             oidx = jnp.clip(t - last, 0, M - 1)
-            upd = jax.lax.dynamic_update_index_in_dim(outs, y, oidx, 0)
-            outs = jnp.where((stage == last) & (t >= last), upd, outs)
-            buf = jax.lax.ppermute(y, axis, perm)
+            commit = (stage == last) & (t >= last)
+            outs = tmap(
+                lambda o, yl: jnp.where(
+                    commit,
+                    jax.lax.dynamic_update_index_in_dim(o, yl, oidx, 0),
+                    o,
+                ),
+                outs, y,
+            )
+            buf = tmap(lambda yl: jax.lax.ppermute(yl, axis, perm), y)
             return (buf, outs), None
 
-        buf0 = jnp.zeros_like(xmb[0])
-        outs0 = jnp.zeros_like(xmb)
+        buf0 = tmap(lambda l: jnp.zeros(l.shape[1:], l.dtype), xmb)
+        outs0 = tmap(jnp.zeros_like, xmb)
         (_, outs), _ = jax.lax.scan(
             tick, (buf0, outs0), jnp.arange(M + S - 1)
         )
         # Only the last stage holds real outputs; replicate over the ring.
-        return jax.lax.psum(
-            jnp.where(stage == last, outs, jnp.zeros_like(outs)), axis
+        return tmap(
+            lambda o: jax.lax.psum(
+                jnp.where(stage == last, o, jnp.zeros_like(o)), axis
+            ),
+            outs,
         )
 
-    pspec = jax.tree_util.tree_map(
+    pspec = tmap(
         lambda l: P(axis, *([None] * (l.ndim - 1))), stacked_params
     )
-    xspec = P(None, batch_axis)
-    psspec = tuple(xspec for _ in ps_m)
-    bspecs = tuple(
-        jax.tree_util.tree_map(lambda _: P(), b) for b in broadcast
-    )
+    xspec = tmap(lambda _: P(None, batch_axis), x)
+    psspec = tuple(P(None, batch_axis) for _ in ps_m)
+    bspecs = tuple(tmap(lambda _: P(), b) for b in broadcast)
     fn = jax.shard_map(
         _pp,
         mesh=mesh,
@@ -144,7 +161,7 @@ def pipeline_blocks(
         check_vma=False,
     )
     out = fn(stacked_params, layer_ids, x_m, ps_m, *broadcast)
-    return out.reshape((B,) + x.shape[1:])
+    return tmap(lambda l: l.reshape((B,) + l.shape[2:]), out)
 
 
 def make_wan_block_fn(cfg, dtype=jnp.float32, attention_fn=None):
@@ -163,5 +180,25 @@ def make_wan_block_fn(cfg, dtype=jnp.float32, attention_fn=None):
     def block_fn(p, i, x, ctx, temb6, cos, sin):
         y, _ = blk.apply({"params": p}, x, i, ctx, temb6, cos, sin, {})
         return y
+
+    return block_fn
+
+
+def make_cog_block_fn(cfg, dtype=jnp.float32, attention_fn=None,
+                      text_last=False):
+    """``block_fn`` adapter for the CogVideoX joint-attention block stack.
+
+    The carry is the pytree ``(hidden, enc)`` (video and text streams).
+    Returns ``block_fn(p, i, (hidden, enc), temb, cos, sin)``; use with
+    ``per_sample=(temb,)`` and ``broadcast=(cos, sin)``.
+    """
+    from blade.models.cogvideox_dit import CogVideoXBlock, dense_attention_fn
+
+    attn = attention_fn or dense_attention_fn
+    blk = CogVideoXBlock(cfg, dtype, attn, text_last)
+
+    def block_fn(p, i, carry, temb, cos, sin):
+        out, _ = blk.apply({"params": p}, carry, i, temb, cos, sin, {})
+        return out
 
     return block_fn

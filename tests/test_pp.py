@@ -159,3 +159,49 @@ def test_pp_wan_blocks_match_model_scan():
                           mesh=mesh, num_microbatches=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pp_cog_blocks_tuple_carry():
+    """The CogVideoX block carries (hidden, enc) — pipeline a pytree carry
+    through the real joint-attention stack and match the serial scan."""
+    from blade.models.cogvideox_dit import COGVIDEOX_TINY, CogVideoXBlock
+    from blade.models.layers import rope_3d_tables
+    from blade.parallel.pipeline import make_cog_block_fn
+
+    cfg = COGVIDEOX_TINY
+    grid, text_len, b = (2, 4, 4), 8, 4
+    ltok = grid[0] * grid[1] * grid[2]
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    hidden = jax.random.normal(ks[0], (b, ltok, cfg.dim), jnp.float32)
+    enc = jax.random.normal(ks[1], (b, text_len, cfg.dim), jnp.float32)
+    temb = jax.random.normal(ks[2], (b, cfg.time_embed_dim), jnp.float32)
+    cos, sin = rope_3d_tables(cfg.head_dim, grid, dims_thw=cfg.rope_dims)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    blk = CogVideoXBlock(cfg, jnp.float32)
+    stacked = jax.vmap(
+        lambda k: blk.init(k, (hidden, enc), jnp.int32(0), temb, cos, sin,
+                           {})["params"]
+    )(jax.random.split(ks[3], cfg.num_layers))
+    ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+
+    def serial(carry):
+        def step(c, pi):
+            p, i = pi
+            out, _ = blk.apply({"params": p}, c, i, temb, cos, sin, {})
+            return out, None
+
+        out, _ = jax.lax.scan(step, carry, (stacked, ids))
+        return out
+
+    want_h, want_e = serial((hidden, enc))
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("pp",))
+    block_fn = make_cog_block_fn(cfg, jnp.float32)
+    got_h, got_e = pipeline_blocks(
+        block_fn, stacked, (hidden, enc), (cos, sin), per_sample=(temb,),
+        mesh=mesh, num_microbatches=4,
+    )
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               rtol=2e-5, atol=2e-5)
