@@ -36,9 +36,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 __all__ = ["pipeline_blocks", "make_wan_block_fn", "make_cog_block_fn"]
 
 
-def _leading_dim(tree) -> int:
+def _leading_dim(tree, label: str = "layer axis") -> int:
     sizes = {leaf.shape[0] for leaf in jax.tree_util.tree_leaves(tree)}
-    assert len(sizes) == 1, f"stacked params disagree on layer axis: {sizes}"
+    assert len(sizes) == 1, f"tree leaves disagree on {label}: {sizes}"
     return sizes.pop()
 
 
@@ -73,12 +73,23 @@ def pipeline_blocks(
     over that mesh axis (pp x dp).  Exactness: each microbatch traverses
     the layers in the same order as the serial ``nn.scan``, so the result
     matches the unpipelined forward up to matmul batch-tiling noise.
+
+    Memory note: activations are *replicated* over the pp axis (only the
+    params are sharded), and the final masked-psum broadcast moves ``S``
+    copies of the output around the ring where only the last stage holds
+    real data.  That is fine at current scales (the point of pp here is
+    sharding the PARAM stack); if pp is ever used because activations
+    don't fit, shard ``x`` over ``batch_axis`` too and replace the psum
+    with a one-hop ``ppermute`` broadcast from the last stage.
     """
     tmap = jax.tree_util.tree_map
     S = mesh.shape[axis]
     L = _leading_dim(stacked_params)
     assert L % S == 0, f"num_layers {L} must divide over {S} pipeline stages"
-    B = _leading_dim(x)
+    B = _leading_dim(x, "batch axis")
+    for j, p in enumerate(per_sample):
+        assert p.shape[0] == B, (
+            f"per_sample[{j}] leading dim {p.shape[0]} != batch {B}")
     M = num_microbatches or S
     assert B % M == 0, f"batch {B} must divide into {M} microbatches"
     layer_ids = jnp.arange(L, dtype=jnp.int32)
@@ -164,41 +175,51 @@ def pipeline_blocks(
     return tmap(lambda l: l.reshape((B,) + l.shape[2:]), out)
 
 
-def make_wan_block_fn(cfg, dtype=jnp.float32, attention_fn=None):
+def make_wan_block_fn(cfg, dtype=jnp.float32, attention_fn=None,
+                      attn_kwargs=None):
     """``block_fn`` adapter for the Wan DiT block stack.
 
     Returns ``block_fn(p, i, x, ctx, temb6, cos, sin)`` applying one
     ``WanBlock`` functionally from its per-layer param slice — the shape
     ``nn.scan`` stacks under ``params['blocks']``.  Use with
     ``per_sample=(ctx, temb6)`` and ``broadcast=(cos, sin)``.
+
+    ``attn_kwargs`` (static pytree, e.g. ``{"rng": key}``) is forwarded to
+    every block's attention call; the default ``None`` → ``{}`` suits the
+    dense path.  ASA variants needing per-step kwargs (rng, mask lists)
+    should pass them here — they are closed over, not pipelined, so they
+    must be microbatch-invariant.
     """
     from blade.models.wan_dit import WanBlock, dense_attention_fn
 
     attn = attention_fn or dense_attention_fn
     blk = WanBlock(cfg, dtype, attn)
+    akw = attn_kwargs or {}
 
     def block_fn(p, i, x, ctx, temb6, cos, sin):
-        y, _ = blk.apply({"params": p}, x, i, ctx, temb6, cos, sin, {})
+        y, _ = blk.apply({"params": p}, x, i, ctx, temb6, cos, sin, akw)
         return y
 
     return block_fn
 
 
 def make_cog_block_fn(cfg, dtype=jnp.float32, attention_fn=None,
-                      text_last=False):
+                      text_last=False, attn_kwargs=None):
     """``block_fn`` adapter for the CogVideoX joint-attention block stack.
 
     The carry is the pytree ``(hidden, enc)`` (video and text streams).
     Returns ``block_fn(p, i, (hidden, enc), temb, cos, sin)``; use with
-    ``per_sample=(temb,)`` and ``broadcast=(cos, sin)``.
+    ``per_sample=(temb,)`` and ``broadcast=(cos, sin)``.  ``attn_kwargs``
+    as in :func:`make_wan_block_fn`.
     """
     from blade.models.cogvideox_dit import CogVideoXBlock, dense_attention_fn
 
     attn = attention_fn or dense_attention_fn
     blk = CogVideoXBlock(cfg, dtype, attn, text_last)
+    akw = attn_kwargs or {}
 
     def block_fn(p, i, carry, temb, cos, sin):
-        out, _ = blk.apply({"params": p}, carry, i, temb, cos, sin, {})
+        out, _ = blk.apply({"params": p}, carry, i, temb, cos, sin, akw)
         return out
 
     return block_fn
