@@ -66,6 +66,87 @@ def test_parity_dump_and_selfcompare(tmp_path, family, monkeypatch):
     assert e.value.code == 1
 
 
+@pytest.mark.parametrize("family", ["wan", "cogvideox"])
+def test_parity_full_loop_matches_torch_reference(tmp_path, family):
+    """Full K-step cross-framework parity (VERDICT r3 #2): drive the torch
+    reference model through the complete denoise loop with the numpy
+    scheduler oracles (the diffusers-side algorithms) and compare EVERY
+    per-step latent and the final latents against the blade parity trace.
+
+    This is the strongest available proxy for the reference's de-facto
+    correctness anchor — its torch pipeline output
+    (``cogvideox/train/inference.py:85-94``) — while real weights are
+    blocked; with real checkpoints the same harness runs unchanged.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from blade import config as C
+    from blade.cli import parity
+    from blade.schedulers.ddpm import make_ddpm_schedule
+    from blade.schedulers.oracle import CogVideoXDPMOracle, UniPCFlowOracle
+
+    K, seed = 4, 11
+    preset_name = "wan-tiny" if family == "wan" else "cogvideox-tiny"
+    preset = C.PRESETS[preset_name]
+    ckpt = _write_fake_checkpoint(tmp_path / "ckpt", family)
+    args = parity.get_args([
+        "--family", family, "--weights", str(ckpt), "--preset", preset_name,
+        "--num_steps", str(K), "--seed", str(seed),
+    ])
+    trace = parity.run_parity_trace(args)
+
+    torch.manual_seed(0)
+    if family == "wan":
+        from blade.models.wan_dit import WAN_TINY
+
+        from tests.torch_dit_ref import TorchWanRef
+
+        ref = TorchWanRef(WAN_TINY).eval()
+        oracle = UniPCFlowOracle(K, flow_shift=preset.flow_shift or 3.0)
+    else:
+        from blade.models.cogvideox_dit import COGVIDEOX_TINY
+
+        from tests.torch_dit_ref import TorchCogRef
+
+        ref = TorchCogRef(COGVIDEOX_TINY).eval()
+        base = make_ddpm_schedule(
+            snr_shift_scale=preset.snr_shift_scale,
+            rescale_betas_zero_snr=preset.rescale_betas_zero_snr)
+        oracle = CogVideoXDPMOracle(base.alphas_cumprod, K)
+
+    x = trace["noise"].astype(np.float64)
+    text = torch.from_numpy(trace["text_embeds"])
+    rng = jax.random.PRNGKey(seed)
+    old_pred = None
+    steps = []
+    with torch.no_grad():
+        for i in range(K):
+            t = float(oracle.timesteps[i])
+            v = ref(torch.from_numpy(x.astype(np.float32)),
+                    torch.full((1,), t), text).numpy().astype(np.float64)
+            if family == "wan":
+                x = oracle.step(v, x)
+            else:
+                # SDE-DPM++ noise: replicate the sampler's draw exactly
+                # (sample_cogvideox: fold_in(fold_in(rng, i), 1)).
+                xi = np.asarray(jax.random.normal(
+                    jax.random.fold_in(jax.random.fold_in(rng, i), 1),
+                    x.shape, jnp.float32), np.float64)
+                t_back = int(oracle.timesteps[i - 1]) if i > 0 else None
+                x, old_pred = oracle.step(
+                    v, old_pred, int(oracle.timesteps[i]), t_back, x, xi)
+            steps.append(x.copy())
+
+    for i in range(K):
+        np.testing.assert_allclose(
+            trace["latents_steps"][i], steps[i], rtol=2e-3, atol=2e-3,
+            err_msg=f"{family}: blade diverged from torch+oracle at step {i}")
+    np.testing.assert_allclose(
+        trace["latents_final"], steps[-1], rtol=2e-3, atol=2e-3,
+        err_msg=f"{family}: final latents diverged")
+
+
 def test_parity_trace_matches_torch_reference_model_step0(tmp_path):
     """The first trace step must agree with manually stepping the torch
     reference through our scheduler oracle — pins that the harness really
