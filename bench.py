@@ -615,6 +615,23 @@ def main():
         pass
 
     try:
+        # Wan eval path: fused single-pass multilevel kernel at d=128
+        # (level-2 pyramid DMA-gathered), full predictor-inclusive path —
+        # the lane the per-level composition held at 1.6x until round 4.
+        cfg_w = dataclasses.replace(
+            WAN_ASA, pre_arranged=True, mask_mode="multilevel",
+            predictor="sum", sample_tokens_per_block=16)
+        f_wml = jax.jit(
+            lambda r, q, k, v: adaptive_sparse_attention(r, q, k, v, cfg_w)[0]
+        )
+        t_wml = bench_fn(f_wml, (rng, q, k, v), iters=8)
+        extra["wan_multilevel_full_ms"] = round(t_wml * 1e3, 2)
+        extra["wan_multilevel_full_speedup"] = round(t_dense / t_wml, 3)
+        emit()
+    except Exception:
+        pass
+
+    try:
         # CogVideoX eval path: fused single-pass multilevel kernel, full
         # predictor-inclusive path at cog geometry (seq 17776, 48 heads,
         # d=64; eval bands 5/10/10/25%).

@@ -323,10 +323,22 @@ def _pooled_level_fwd_only(q, k_pool, v_pool, block_mask, level, scale,
 
 
 def fused_supported(d: int, lk: int, itemsize: int = 2) -> bool:
-    """Whether the fused single-pass kernel covers this geometry."""
+    """Whether the fused single-pass kernel covers this geometry.
+
+    Small pyramids (CogVideoX d=64): all three pooled pyramids stay
+    VMEM-resident.  Large pyramids (Wan d=128, 14.7 MB): levels 4+8 stay
+    resident (6.3 MB) and level-2 records are DMA-gathered from HBM with
+    the level-1 pipeline pattern (sync register gathers only win for the
+    small resident segments; from HBM, pipelined DMA is the proven form).
+    """
     n_kt = -(-lk // KV_BLOCK)
+    if n_kt > 256 or d not in (64, 128):
+        return False
     pyr_bytes = n_kt * (64 + 32 + 16) * 2 * d * itemsize
-    return d == 64 and n_kt <= 256 and pyr_bytes <= FUSED_PYR_BUDGET
+    if pyr_bytes <= FUSED_PYR_BUDGET:
+        return True
+    res_bytes = n_kt * (32 + 16) * 2 * d * itemsize
+    return res_bytes <= FUSED_RES_BUDGET
 
 
 def multilevel_attention(
@@ -342,6 +354,7 @@ def multilevel_attention(
     q_rows: int = 128,
     pooled_tiles: Optional[Tuple[int, int, int]] = None,
     pooled_single_shot: bool = False,
+    dma_level2: Optional[bool] = None,
 ):
     """Multi-level pooled sparse attention over ``[B, H, L, D]``.
 
@@ -351,9 +364,10 @@ def multilevel_attention(
 
     ``fused=None`` auto-selects the single-pass fused kernel (all four
     levels in one launch with a shared online-softmax carry) when the
-    geometry supports it: ``d == 64`` (lane-packed K|V records) with the
-    pooled pyramid within the VMEM budget.  ``fused=False`` forces the
-    per-level pass + exact LSE merge composition.
+    geometry supports it — ``d`` in {64, 128} (lane-packed K|V records)
+    with ``n_kt <= 256``; oversized level-2 pyramids fall back to HBM DMA
+    gathers (``dma_level2``, auto).  ``fused=False`` forces the per-level
+    pass + exact LSE merge composition.
 
     ``lists``: optional precomputed per-level ascending block lists
     ``(idx [B,H,nQ,4,cap], counts [B,H,nQ,4])`` from
@@ -400,7 +414,8 @@ def multilevel_attention(
         return _multilevel_fused(q, k, v, levels, scale, interpret,
                                  lists=lists, q_rows=q_rows,
                                  pooled_tiles=pooled_tiles,
-                                 single_shot=pooled_single_shot)
+                                 single_shot=pooled_single_shot,
+                                 dma_level2=dma_level2)
 
     # Level-1 pass: exact per-block attention via the binary sparse kernel
     # at the ORIGINAL head dim (it lane-packs d=64 internally; pre-padding
@@ -473,10 +488,17 @@ def multilevel_attention(
 
 FUSED_ROWS = 8  # mask rows per grid step (shared level-1 DMA pipeline)
 FUSED_PYR_BUDGET = 5 * 1024 * 1024  # lane-packed pooled pyramid VMEM cap
+# Resident budget for the levels-4+8 pyramids when level 2 overflows to
+# HBM DMA gathers (d=128 Wan geometry: 4 MB + 2 MB resident, level-2 at
+# 8 MB gathered).  Total VMEM audit at wan-480p: kvbuf 2 MB + kv2buf 2 MB
+# + resident 6.3 MB + q/o tiles ~1.5 MB ~= 12 MB of the 16 MB scope.
+FUSED_RES_BUDGET = 7 * 1024 * 1024
 # Per-level MXU tile width of the pooled inner loops, sized so the default
 # eval bands (10%/10%/25% of <=160 key blocks) complete in ONE iteration —
 # the ~1 us/iteration loop overhead dominates the wasted tail columns.
 POOLED_TILE = {2: 1024, 4: 512, 8: 1024}
+SEG2_GROUP = 16  # level-2 records per DMA slot (16 x 64 rows = 1024-wide)
+NBUF2 = 4  # level-2 gather pipeline depth
 
 
 def _tail_limit(count, last_entry, seg_rows, segs, boundary_block,
@@ -507,15 +529,25 @@ def _fused_ml_kernel(
     pyr8_ref,  # ANY: [BH, n_kt*16, 2d]
     o_ref,  # [1, R*q_block, d]
     lse_ref,  # [1, 8, R*q_block]
-    idxbuf,  # SMEM (2, R, 8, 128)
-    kvbuf,  # VMEM (NBUF, GROUP, KV_BLOCK, 2d)
-    pyr2_buf,  # VMEM (n_kt*64, 2d) — copied once per (batch, head); the
-    pyr4_buf,  # (1, r, c)-blocked in_spec alternative re-fetches the whole
-    pyr8_buf,  # pyramid EVERY grid step (~4 MB x 35 steps/bh at cog).
-    sem, idx_sem, pyr_sem,
-    *, scale, kv_valid_len, kv_pad_len, n_kt, sub_s, q_block, pooled_tiles,
-    single_shot=False,
+    *scratch,  # see unpack below (layout depends on dma_level2)
+    scale, kv_valid_len, kv_pad_len, n_kt, sub_s, q_block, pooled_tiles,
+    single_shot=False, dma_level2=False,
 ):
+    if dma_level2:
+        # Level-2 pyramid too big for VMEM residency: its records are
+        # DMA-gathered from HBM (pipeline below); levels 4+8 stay resident.
+        (idxbuf, kvbuf, kv2buf, pyr4_buf, pyr8_buf,
+         sem, idx_sem, pyr_sem, sem2) = scratch
+        resident = ((pyr4_ref, pyr4_buf), (pyr8_ref, pyr8_buf))
+    else:
+        # idxbuf: SMEM (2, R, 8, 128); kvbuf: VMEM (NBUF, GROUP, KV_BLOCK,
+        # 2d); pyrL_buf: whole pooled pyramid, copied once per (batch,
+        # head) — a (1, r, c)-blocked in_spec alternative re-fetches the
+        # whole pyramid EVERY grid step (~4 MB x 35 steps/bh at cog).
+        (idxbuf, kvbuf, pyr2_buf, pyr4_buf, pyr8_buf,
+         sem, idx_sem, pyr_sem) = scratch
+        resident = ((pyr2_ref, pyr2_buf), (pyr4_ref, pyr4_buf),
+                    (pyr8_ref, pyr8_buf))
     r_rows = FUSED_ROWS
     bh = pl.program_id(0)
     step = pl.program_id(1)
@@ -525,9 +557,7 @@ def _fused_ml_kernel(
 
     pyr_copies = [
         pltpu.make_async_copy(src.at[bh], dst, pyr_sem.at[i])
-        for i, (src, dst) in enumerate(
-            ((pyr2_ref, pyr2_buf), (pyr4_ref, pyr4_buf),
-             (pyr8_ref, pyr8_buf)))
+        for i, (src, dst) in enumerate(resident)
     ]
 
     @pl.when(step == 0)
@@ -592,6 +622,47 @@ def _fused_ml_kernel(
     for g0 in range(NBUF):
         prefetch(jnp.int32(g0))
 
+    # ---- level-2 HBM gather pipeline (dma_level2 only), flattened over the
+    # step's rows exactly like level 1: SEG2_GROUP 64-row pooled records per
+    # slot (one 1024-wide MXU tile), NBUF2-deep.
+    if dma_level2:
+        seg2 = KV_BLOCK // 2
+        counts2 = [cnt_ref[bh, (step * r_rows + r) * 4 + 1]
+                   for r in range(r_rows)]
+        iters2 = [pl.cdiv(c, SEG2_GROUP) for c in counts2]
+        base2 = [jnp.int32(0)]
+        for r in range(r_rows - 1):
+            base2.append(base2[-1] + iters2[r])
+        total2 = base2[-1] + iters2[-1]
+
+        def row_of2(g):
+            r_g = jnp.int32(0)
+            for r in range(1, r_rows):
+                r_g = jnp.where(g >= base2[r], jnp.int32(r), r_g)
+            return r_g
+
+        def kv2_copy(slot, g, u):
+            r_g = row_of2(g)
+            local = g - base2[0]
+            for r in range(1, r_rows):
+                local = jnp.where(r_g == r, g - base2[r], local)
+            j = SEG2_GROUP * local + u
+            blk = list_entry(r_g, 1, j)
+            return pltpu.make_async_copy(
+                pyr2_ref.at[bh, pl.ds(blk * seg2, seg2), :],
+                kv2buf.at[slot, u], sem2.at[slot, u],
+            )
+
+        def prefetch2(g):
+            @pl.when(g < total2)
+            def _():
+                slot = jax.lax.rem(g, NBUF2)
+                for u in range(SEG2_GROUP):
+                    kv2_copy(slot, g, u).start()
+
+        for g0 in range(NBUF2):
+            prefetch2(jnp.int32(g0))
+
     d = q_ref.shape[-1]
     width1 = GROUP * KV_BLOCK
     col1 = jax.lax.broadcasted_iota(jnp.int32, (1, width1), 1)
@@ -602,7 +673,9 @@ def _fused_ml_kernel(
         for c in pyr_copies:
             c.wait()
 
-    pyr_refs = {2: pyr2_buf, 4: pyr4_buf, 8: pyr8_buf}
+    pyr_refs = {4: pyr4_buf, 8: pyr8_buf}
+    if not dma_level2:
+        pyr_refs[2] = pyr2_buf
 
     # Static pooled-level geometry: (level, list index, seg rows, MXU tile,
     # segments per tile).  Shared by the per-level loops and the merged
@@ -759,6 +832,60 @@ def _fused_ml_kernel(
         # tile above — running these loops again would double-count.)
         for li, level in enumerate((2, 4, 8), start=1) if not single_shot \
                 else ():
+            countp = cnt_ref[bh, (step * r_rows + r) * 4 + li]
+            if level == 2 and dma_level2:
+                # DMA-gathered level 2: consume the flattened pipeline set
+                # up above (1024-wide tiles of SEG2_GROUP 64-row records),
+                # penalty-row masking in base-2 logit units like level 1.
+                tile2 = SEG2_GROUP * seg2
+                col2 = jax.lax.broadcasted_iota(jnp.int32, (1, tile2), 1)
+                grp2 = col2 // seg2
+                pooled_valid2 = -(-kv_valid_len // 2)
+                t_last2, lim2 = _tail_limit(
+                    countp, list_entry(r, 1, jnp.maximum(countp - 1, 0)),
+                    seg2, SEG2_GROUP, n_kt - 1,
+                    pooled_valid2 - (n_kt - 1) * seg2, tile2)
+                b2 = float(math.log(2)) * LOG2E
+
+                def body2(t, carry, r=r, countp=countp, t_last2=t_last2,
+                          lim2=lim2, col2=col2, grp2=grp2, tile2=tile2,
+                          b2=b2):
+                    m, l, acc = carry
+                    g = base2[r] + t
+                    slot = jax.lax.rem(g, NBUF2)
+                    for u in range(SEG2_GROUP):
+                        kv2_copy(slot, g, u).wait()
+                    kv = kv2buf[slot]  # [SEG2_GROUP, seg2, 2d]
+                    kb = kv[:, :, :d].reshape(tile2, d)
+                    vb = kv[:, :, d:].reshape(tile2, d)
+                    s = jax.lax.dot_general(
+                        q, kb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    ok = (SEG2_GROUP * t + grp2) < countp
+                    if kv_valid_len < kv_pad_len:
+                        limit = jnp.where(t == t_last2, lim2,
+                                          jnp.int32(tile2))
+                        ok = ok & (col2 < limit)
+                    pen = jnp.where(ok, jnp.float32(b2),
+                                    jnp.float32(NEG_INF))
+                    s2 = s * c + pen
+                    m_new = jnp.maximum(m, jnp.max(s2, axis=-1,
+                                                   keepdims=True))
+                    alpha = jnp.exp2(m - m_new)
+                    p = jnp.exp2(s2 - m_new)
+                    l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                    pv = jax.lax.dot_general(
+                        p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = acc * alpha + pv
+                    prefetch2(g + NBUF2)
+                    return m_new, l, acc
+
+                m, l, acc = jax.lax.fori_loop(
+                    0, iters2[r], body2, (m, l, acc))
+                continue
             seg_rows = KV_BLOCK // level
             # No point tiling wider than the whole pooled pyramid (small
             # geometries/tests): clamp to n_kt blocks, 128-lane minimum.
@@ -766,7 +893,6 @@ def _fused_ml_kernel(
             segs = tile // seg_rows
             colp = jax.lax.broadcasted_iota(jnp.int32, (q_block, tile), 1)
             grpp = colp // seg_rows
-            countp = cnt_ref[bh, (step * r_rows + r) * 4 + li]
             pyr_ref = pyr_refs[level]
             pooled_valid = -(-kv_valid_len // level)
             bias = float(math.log(level))
@@ -885,9 +1011,14 @@ def _masks_from_lists(idx_all, cnt_all, n_qt, n_kt, sub_s):
 
 
 def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
-                    q_rows=128, pooled_tiles=None, single_shot=False):
+                    q_rows=128, pooled_tiles=None, single_shot=False,
+                    dma_level2=None):
     """Fused forward.  q: [BH, Lq_pad, d]; k/v: [BH, Lk_pad, d] (edge-padded
-    originals); idx_all/cnt_all: packed per-level lists (see _pack_lists)."""
+    originals); idx_all/cnt_all: packed per-level lists (see _pack_lists).
+
+    ``dma_level2=None`` auto-selects HBM DMA gathers for the level-2
+    pyramid when the full pyramid exceeds the VMEM residency budget (Wan
+    d=128 geometry); pass True/False to force (tests/bench)."""
     bh, lq_pad, d = q.shape
     lk_pad = k.shape[1]
     n_kt = lk_pad // KV_BLOCK
@@ -908,6 +1039,24 @@ def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
     kv1, pyr2, pyr4, pyr8 = pack_kv(
         k, v, lane_pack=True, pyramid=True, interpret=interpret)
 
+    if dma_level2 is None:
+        pyr_bytes = (pyr2.shape[1] + pyr4.shape[1] + pyr8.shape[1]) \
+            * 2 * d * k.dtype.itemsize
+        dma_level2 = pyr_bytes > FUSED_PYR_BUDGET
+    assert not (single_shot and dma_level2), (
+        "single-shot merged tile needs all pooled pyramids VMEM-resident")
+
+    if dma_level2:
+        kv2_scratch = [
+            pltpu.VMEM((NBUF2, SEG2_GROUP, KV_BLOCK // 2, 2 * d), k.dtype)]
+        pyr_scratch = []
+        sem_tail = [pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((NBUF2, SEG2_GROUP))]
+    else:
+        kv2_scratch = []
+        pyr_scratch = [pltpu.VMEM((pyr2.shape[1], 2 * d), k.dtype)]
+        sem_tail = [pltpu.SemaphoreType.DMA((3,))]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh, n_qt // r_rows),
@@ -926,12 +1075,13 @@ def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
         scratch_shapes=[
             pltpu.SMEM((2, r_rows, 8, 128), jnp.int32),
             pltpu.VMEM((NBUF, GROUP, KV_BLOCK, 2 * d), k.dtype),
-            pltpu.VMEM((pyr2.shape[1], 2 * d), k.dtype),
+            *kv2_scratch,
+            *pyr_scratch,
             pltpu.VMEM((pyr4.shape[1], 2 * d), k.dtype),
             pltpu.VMEM((pyr8.shape[1], 2 * d), k.dtype),
             pltpu.SemaphoreType.DMA((NBUF, GROUP)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((3,)),
+            *sem_tail,
         ],
     )
     kernel = functools.partial(
@@ -945,6 +1095,7 @@ def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
         pooled_tiles=POOLED_TILE if pooled_tiles is None
         else dict(zip((2, 4, 8), pooled_tiles)),
         single_shot=single_shot,
+        dma_level2=dma_level2,
     )
     out, lse8 = pl.pallas_call(
         kernel,
@@ -964,25 +1115,28 @@ def _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
     return out[:, :lq_out], lse8[:, 0, :lq_out]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15, 16))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(11, 12, 13, 14, 15, 16, 17))
 def _fused_ml_core(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all, cnt_all,
                    scale, lk, interpret, q_rows, pooled_tiles=None,
-                   single_shot=False):
+                   single_shot=False, dma_level2=None):
     return _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk, interpret,
-                           q_rows, pooled_tiles, single_shot)
+                           q_rows, pooled_tiles, single_shot, dma_level2)
 
 
 def _fused_ml_core_fwd(q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all,
                        cnt_all, scale, lk, interpret, q_rows,
-                       pooled_tiles=None, single_shot=False):
+                       pooled_tiles=None, single_shot=False,
+                       dma_level2=None):
     out, lse = _fused_fwd_only(q, k, v, idx_all, cnt_all, scale, lk,
-                               interpret, q_rows, pooled_tiles, single_shot)
+                               interpret, q_rows, pooled_tiles, single_shot,
+                               dma_level2)
     return (out, lse), (q, k, v, kp2, vp2, kp4, vp4, kp8, vp8, idx_all,
                         cnt_all, out, lse)
 
 
 def _fused_ml_core_bwd(scale, lk, interpret, q_rows, pooled_tiles,
-                       single_shot, res, g):
+                       single_shot, dma_level2, res, g):
     """Direct multi-level backward: each level's grouped-gather dQ/dK/dV
     pass runs against the GLOBAL merged (out, lse) — p_ij = exp(s_ij - lse_i)
     already includes the cross-level softmax weights, so per-level passes
@@ -1034,7 +1188,8 @@ _fused_ml_core.defvjp(_fused_ml_core_fwd, _fused_ml_core_bwd)
 
 
 def _multilevel_fused(q, k, v, levels, scale, interpret, lists=None,
-                      q_rows=128, pooled_tiles=None, single_shot=False):
+                      q_rows=128, pooled_tiles=None, single_shot=False,
+                      dma_level2=None):
     """Build pads + pooled pyramids and invoke the fused single-pass core.
 
     Pooling stays OUTSIDE the custom-VJP boundary so XLA autodiff handles
@@ -1078,7 +1233,7 @@ def _multilevel_fused(q, k, v, levels, scale, interpret, lists=None,
         idx_all, cnt_all = _lists_from_levels(levels_bh, sub_s)
     out, lse = _fused_ml_core(
         flat(qp), flat(kp_full), flat(vp_full), *pooled, idx_all, cnt_all,
-        scale, lk, interpret, q_rows, pooled_tiles, single_shot,
+        scale, lk, interpret, q_rows, pooled_tiles, single_shot, dma_level2,
     )
     out = out.reshape(b, h, lq_pad, d)[:, :, :lq]
     lse = lse.reshape(b, h, lq_pad)[:, :, :lq]

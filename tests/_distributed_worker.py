@@ -111,6 +111,40 @@ def main():
     out["w_g"] = float(jax.device_get(state2.lora_g["w"]))
     out["w_f"] = float(jax.device_get(state2.lora_f["w"]))
 
+    # ---- REAL-model TDM step dp-sharded across the two processes -------
+    # (VERDICT r3 #7: the missing rung between the toy-model smoke and a
+    # real pod — one WAN_TINY TDM step whose gradients cross the process
+    # boundary; the parent compares metrics against a single-process run
+    # of the same global batch.)
+    from blade.models.wan_dit import WAN_TINY, WanModel
+
+    model = WanModel(WAN_TINY, dtype=jnp.float32)
+    lat_np = np.random.default_rng(1).standard_normal(
+        (gb, 16, 2, 8, 8)).astype(np.float32)
+    wtext_np = np.random.default_rng(2).standard_normal(
+        (gb, 8, WAN_TINY.text_dim)).astype(np.float32)
+    wparams = model.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, 16, 2, 8, 8)),
+        jnp.ones((1,)), jnp.zeros((1, 8, WAN_TINY.text_dim)))
+    cfg_w = tdm.TDMConfig(k_step=2, lambda_reg=0.0,
+                          use_weighting_factor=False,
+                          lora_rank=4, lora_alpha=4)
+    state_w = jax.device_put(
+        tdm.create_tdm_state(jax.random.PRNGKey(6), wparams, cfg_w), repl)
+    batch_w = {
+        "noise": gmake(lat_np, shard),
+        "text_embeds": gmake(wtext_np, shard),
+        "uncond_embeds": gmake(np.zeros_like(wtext_np), shard),
+    }
+
+    def wan_apply(p, x, t, txt, r):
+        return model.apply(p, x, t, txt, attn_kwargs={"rng": r})
+
+    stepw = jax.jit(tdm.make_tdm_train_step(wan_apply, family, cfg_w))
+    _, mw = stepw(state_w, batch_w, jax.random.PRNGKey(7))
+    out["wan_loss_fake"] = float(mw["loss_fake"])
+    out["wan_loss_du"] = float(mw["loss_du"])
+
     # ---- explicit cross-process collective -----------------------------
     # each process fills its OWN local shards with 1+pid, so the global
     # sum identifies every participant: nproc=2 x 2 devices -> 2*1 + 2*2.

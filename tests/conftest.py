@@ -19,3 +19,23 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast/full test tiers: ``@pytest.mark.slow`` tests are skipped unless
+    ``BLADE_SLOW_TESTS=1`` (or ``-m slow`` was requested explicitly).
+
+    The default run is the fast tier; the full tier is
+    ``BLADE_SLOW_TESTS=1 python -m pytest tests/ -q``.
+    """
+    if os.environ.get("BLADE_SLOW_TESTS"):
+        return
+    if config.getoption("-m"):
+        return  # explicit marker selection wins
+    skip = pytest.mark.skip(
+        reason="slow tier (set BLADE_SLOW_TESTS=1 to run)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -121,6 +121,7 @@ def test_pre_arranged_matches_per_call():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_wan_model_level_arrangement_exact():
     """WanModel.token_perm + ASAConfig.pre_arranged (via asa_model_kwargs)
     produces bit-identical outputs to the per-call attention_fn."""
@@ -191,6 +192,7 @@ def test_sum_and_max_predictors_agree_on_selection():
     assert inter / union > 0.7, (inter, union)
 
 
+@pytest.mark.slow
 def test_cog_model_level_arrangement_exact():
     """CogVideoXModel.token_perm + text_last + pre_arranged ASA equals the
     per-call rearrangement path bit-for-bit."""
@@ -219,6 +221,7 @@ def test_cog_model_level_arrangement_exact():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_multilevel_lists_artifact_replay_exact():
     """On the fused multilevel lane the reusable mask artifact is the
     (idx, counts) lists tuple; replaying it (different rng, so the

@@ -14,6 +14,7 @@ def _run_cli(monkeypatch, module, argv):
     module.main()
 
 
+@pytest.mark.slow
 def test_process_prompts_and_train_data_free(tmp_path, monkeypatch):
     prompts_file = tmp_path / "prompts.txt"
     prompts_file.write_text("a cat\na dog\na bird\n")
@@ -50,6 +51,7 @@ def test_process_prompts_and_train_data_free(tmp_path, monkeypatch):
     assert rec["lr"] == pytest.approx(0.0, abs=1e-12)
 
 
+@pytest.mark.slow
 def test_train_cli_epoch_semantics(tmp_path, monkeypatch):
     """--num_train_epochs drives max_train_steps from the store size
     (reference train_cogvideo_tdm.py:1278)."""

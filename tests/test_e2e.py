@@ -70,6 +70,7 @@ def test_generate_batch_seed_independence():
     assert np.abs(np.asarray(both[0]) - np.asarray(both[1])).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_wan_mask_reuse_across_steps():
     """Opt-in VSA-style mask reuse: masks predicted on refresh steps are
     replayed in between.  With a full-retention config the mask is constant,

@@ -135,6 +135,7 @@ def test_wan_14b_full_model_virtual_bringup():
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+@pytest.mark.slow
 def test_wan_14b_width_sharded_forward():
     """tp=2/fsdp=2/dp=2 forward at full 14B layer width, 2 scanned layers."""
     mesh = M.make_mesh(dp=2, fsdp=2, tp=2)

@@ -6,6 +6,8 @@ import numpy as np
 
 from blade.attention import masks as M
 from blade.kernels.multilevel_attn import multilevel_attention
+import pytest
+
 from blade.kernels.ref_attention import (
     dense_attention_with_lse,
     multilevel_block_attention_reference,
@@ -125,6 +127,67 @@ def test_fused_gradients_match_reference():
         )
 
 
+# ---- d=128 fused path (Wan geometry; level-2 pyramid DMA-gathered) ----
+
+
+def test_fused_d128_matches_composition():
+    """d=128 fused kernel, both pyramid placements: all-resident (auto at
+    this tiny geometry) and forced level-2 HBM DMA gathers (what the real
+    Wan-480p pyramid sizes select)."""
+    q, k, v = _qkv(jax.random.PRNGKey(20), l=512, d=128)
+    levels = _levels_from_scores(jax.random.PRNGKey(21), 1, 2, 4, 4)
+    out_c, lse_c = multilevel_attention(q, k, v, levels, interpret=True,
+                                        fused=False)
+    for dma in (False, True):
+        out_f, lse_f = multilevel_attention(
+            q, k, v, levels, interpret=True, fused=True, dma_level2=dma)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c),
+                                   atol=3e-5, rtol=3e-5,
+                                   err_msg=f"dma_level2={dma}")
+        np.testing.assert_allclose(np.asarray(lse_f), np.asarray(lse_c),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"dma_level2={dma}")
+
+
+@pytest.mark.slow
+def test_fused_d128_dma_ragged_lengths():
+    """Non-128-multiple sequence: tail masking inside the DMA level-2 body
+    (boundary pooled record is partially valid)."""
+    q, k, v = _qkv(jax.random.PRNGKey(22), l=450, d=128)
+    levels = _levels_from_scores(jax.random.PRNGKey(23), 1, 2, 4, 4)
+    out, lse = multilevel_attention(q, k, v, levels, interpret=True,
+                                    fused=True, dma_level2=True)
+    ref_out, ref_lse = multilevel_attention(q, k, v, levels, interpret=True,
+                                            fused=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_fused_d128_dma_gradients():
+    q, k, v = _qkv(jax.random.PRNGKey(24), l=512, d=128)
+    levels = _levels_from_scores(jax.random.PRNGKey(25), 1, 2, 4, 4)
+
+    def loss_kernel(q, k, v):
+        out, lse = multilevel_attention(q, k, v, levels, interpret=True,
+                                        fused=True, dma_level2=True)
+        return jnp.sum(jnp.sin(out)) + 0.05 * jnp.sum(lse)
+
+    def loss_ref(q, k, v):
+        out, lse = multilevel_block_attention_reference(q, k, v, levels)
+        return jnp.sum(jnp.sin(out)) + 0.05 * jnp.sum(lse)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
+            err_msg=f"d{name}",
+        )
+
+
 # ---- lists fast lane (per-level lists straight from the score ranking) ----
 
 
@@ -197,6 +260,7 @@ def _band_tiles(nk):
     return tiles
 
 
+@pytest.mark.slow
 def test_fused_single_shot_matches_looped():
     """Merged single-tile lane == per-level loops, exactly (same list
     inputs, band-sized tiles satisfying the count<=tile guarantee).
@@ -259,6 +323,7 @@ def test_fused_single_shot_matches_on_multirow_l1():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_lists_gradients():
     q, k, v = _qkv(jax.random.PRNGKey(23), l=512)
     scores = jax.random.uniform(jax.random.PRNGKey(24), (1, 2, 4, 4))
@@ -299,6 +364,7 @@ def test_fused_q_rows_256_matches_row_duplicated_mask():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_q_rows_256_gradients():
     q, k, v = _qkv(jax.random.PRNGKey(27), l=1024)
     scores = jax.random.uniform(jax.random.PRNGKey(28), (1, 2, 4, 8))

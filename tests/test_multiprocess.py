@@ -35,6 +35,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_distributed_smoke(tmp_path):
     port = _free_port()
     nproc = 2
@@ -56,7 +57,7 @@ def test_two_process_distributed_smoke(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=540)
+        out, _ = p.communicate(timeout=900)
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-4000:]
@@ -97,3 +98,50 @@ def test_two_process_distributed_smoke(tmp_path):
     # runs at constant lr and must have moved
     assert r0["lr"] == pytest.approx(0.0, abs=1e-12)
     assert r0["w_f"] != pytest.approx(1.0)
+
+    # --- REAL-model step: both processes agree, and match a single-process
+    # run of the same global batch (same keys/inputs; reduction-order noise
+    # only) ---
+    assert r0["wan_loss_fake"] == pytest.approx(r1["wan_loss_fake"], rel=1e-6)
+    assert r0["wan_loss_du"] == pytest.approx(r1["wan_loss_du"], rel=1e-6)
+    ref = _single_process_wan_metrics()
+    assert r0["wan_loss_fake"] == pytest.approx(ref["loss_fake"], rel=2e-5)
+    assert r0["wan_loss_du"] == pytest.approx(ref["loss_du"], rel=2e-5)
+
+
+def _single_process_wan_metrics():
+    """The worker's WAN_TINY TDM step, unsharded in this process (the
+    conftest pins cpu), with identical keys and batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blade.models.wan_dit import WAN_TINY, WanModel
+    from blade.schedulers import unipc_flow as F
+    from blade.training import tdm
+
+    gb = 4
+    model = WanModel(WAN_TINY, dtype=jnp.float32)
+    lat_np = np.random.default_rng(1).standard_normal(
+        (gb, 16, 2, 8, 8)).astype(np.float32)
+    text_np = np.random.default_rng(2).standard_normal(
+        (gb, 8, WAN_TINY.text_dim)).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, 16, 2, 8, 8)),
+        jnp.ones((1,)), jnp.zeros((1, 8, WAN_TINY.text_dim)))
+    cfg = tdm.TDMConfig(k_step=2, lambda_reg=0.0, use_weighting_factor=False,
+                        lora_rank=4, lora_alpha=4)
+    state = tdm.create_tdm_state(jax.random.PRNGKey(6), params, cfg)
+    family = tdm.flow_family(F.flow_training_sigmas(1000, 3.0))
+
+    def apply_fn(p, x, t, txt, r):
+        return model.apply(p, x, t, txt, attn_kwargs={"rng": r})
+
+    step = jax.jit(tdm.make_tdm_train_step(apply_fn, family, cfg))
+    batch = {
+        "noise": jnp.asarray(lat_np),
+        "text_embeds": jnp.asarray(text_np),
+        "uncond_embeds": jnp.zeros_like(jnp.asarray(text_np)),
+    }
+    _, metrics = step(state, batch, jax.random.PRNGKey(7))
+    return {k: float(v) for k, v in metrics.items()}
