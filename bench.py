@@ -620,7 +620,8 @@ def main():
         # the lane the per-level composition held at 1.6x until round 4.
         cfg_w = dataclasses.replace(
             WAN_ASA, pre_arranged=True, mask_mode="multilevel",
-            predictor="sum", sample_tokens_per_block=16)
+            predictor="sum", sample_tokens_per_block=16,
+            multilevel_q_rows=256)  # the WAN_480P production setting
         f_wml = jax.jit(
             lambda r, q, k, v: adaptive_sparse_attention(r, q, k, v, cfg_w)[0]
         )

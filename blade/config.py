@@ -92,6 +92,11 @@ WAN_480P = FamilyPreset(
     name="wan", dit=WAN_1_3B, vae=WAN21_VAE, text=UMT5_XXL, max_text_len=512,
     video=VideoSpec(81, 480, 832, fps=16), flow_shift=3.0,
     sample_gap=30, max_retain_ratio=0.2,
+    # 256 queries share one multilevel mask row: halves the fused kernel's
+    # per-row floor AND its gather traffic (18.3 ms vs 24.1 ms full path =
+    # 2.5x vs dense, measured r4).  Gilbert locality makes 256-token rows
+    # nearly as coherent as the reference's 128.
+    asa_multilevel_q_rows=256,
 )
 COGVIDEOX_480P = FamilyPreset(
     name="cogvideox", dit=COGVIDEOX_5B, vae=COGVIDEOX_VAE_FULL, text=T5_XXL,
