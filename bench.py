@@ -704,6 +704,27 @@ def main():
         extra["cog_e2e_error"] = f"{type(e).__name__}: {e}"[:200]
     emit()
 
+    # Opt-in (compile ~12 min): full-width Wan-1.3B 480p TDM train step.
+    # Reference training envelope on one chip; measured 24.4 s/step r4.
+    try:
+        if os.environ.get("BLADE_BENCH_TDM480", "0") not in ("0", "off") \
+                and _left() > 900:
+            proc = subprocess.run(
+                [sys.executable, "scripts/tdm_480p_step.py"],
+                capture_output=True, text=True,
+                timeout=max(120.0, _left() - 20),
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    extra["tdm_480p"] = json.loads(line)
+                    break
+                except ValueError:
+                    continue
+            emit()
+    except Exception as e:
+        extra["tdm_480p_error"] = f"{type(e).__name__}: {e}"[:200]
+        emit()
+
 
 if __name__ == "__main__":
     if "--e2e" in sys.argv:
