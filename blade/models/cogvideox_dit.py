@@ -26,8 +26,11 @@ import jax.numpy as jnp
 
 from blade.models.layers import (
     FeedForward,
+    PermutedDense,
+    PermutedLayerNorm,
     TimestepEmbedder,
-    apply_rope,
+    apply_rope_half,
+    deinterleave_perm,
     dense_attention_fn,
     rope_3d_tables,
     sinusoidal_timestep_embedding,
@@ -116,20 +119,30 @@ class CogJointAttention(nn.Module):
             c.dim, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
             name=name,
         )
-        q, k, v = dense("to_q")(x), dense("to_k")(x), dense("to_v")(x)
+        # q/k channels are de-interleaved via a trace-time weight fold so
+        # video RoPE runs in the relayout-free rotate-half form; the per-head
+        # LayerNorm scale/bias are permuted to match.  Attention (and the
+        # pooled ASA predictor) is invariant to the common q/k channel
+        # permutation — see layers.deinterleave_perm.
+        perm = tuple(deinterleave_perm(c.num_heads, c.head_dim).tolist())
+        hperm = tuple(deinterleave_perm(1, c.head_dim).tolist())
+        pdense = lambda name: PermutedDense(
+            c.dim, out_perm=perm, dtype=self.dtype, name=name
+        )
+        q, k, v = pdense("to_q")(x), pdense("to_k")(x), dense("to_v")(x)
 
         def heads(t):
             return t.reshape(b, l, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        qk_norm = lambda name: nn.LayerNorm(
-            epsilon=1e-6, dtype=jnp.float32, name=name
+        qk_norm = lambda name: PermutedLayerNorm(
+            epsilon=1e-6, feature_perm=hperm, name=name
         )
         q = qk_norm("norm_q")(q).astype(v.dtype)
         k = qk_norm("norm_k")(k).astype(v.dtype)
         # RoPE on the video segment only (reference modify_cogvideo.py:59-64).
         def rope_segment(t):
-            t_vid = apply_rope(t[:, :, vid], rope_cos, rope_sin)
+            t_vid = apply_rope_half(t[:, :, vid], rope_cos, rope_sin)
             if self.text_last:
                 return jnp.concatenate([t_vid, t[:, :, hidden.shape[1]:]],
                                        axis=2)

@@ -29,6 +29,10 @@ __all__ = [
     "TimestepEmbedder",
     "rope_3d_tables",
     "apply_rope",
+    "apply_rope_half",
+    "deinterleave_perm",
+    "PermutedDense",
+    "PermutedLayerNorm",
     "modulate",
     "AttentionFn",
     "dense_attention_fn",
@@ -38,11 +42,18 @@ AttentionFn = Callable[..., jnp.ndarray]  # (q, k, v, **kw) -> out [B,H,L,D]
 
 
 class RMSNorm(nn.Module):
-    """RMS norm over the last axis; f32 internals, optional learned scale."""
+    """RMS norm over the last axis; f32 internals, optional learned scale.
+
+    ``feature_perm`` (static) permutes the learned scale at trace time so the
+    module can consume inputs whose channels were permuted upstream (see
+    ``PermutedDense``) while keeping the checkpoint layout unpermuted — the
+    RMS statistic itself is permutation-invariant.
+    """
 
     eps: float = 1e-6
     use_scale: bool = True
     param_dtype: Any = jnp.float32
+    feature_perm: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x):
@@ -54,6 +65,8 @@ class RMSNorm(nn.Module):
             scale = self.param(
                 "scale", nn.initializers.ones, (x.shape[-1],), self.param_dtype
             )
+            if self.feature_perm is not None:
+                scale = scale[np.asarray(self.feature_perm)]
             y = y * scale
         return y.astype(dtype)
 
@@ -167,6 +180,103 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     out_im = x_re * sin + x_im * cos
     out = jnp.stack([out_re, out_im], axis=-1).reshape(xf.shape)
     return out.astype(dtype)
+
+
+def deinterleave_perm(num_heads: int, head_dim: int) -> np.ndarray:
+    """Static channel permutation mapping interleaved rotary pairs
+    ``(0,1),(2,3),...`` to split halves ``(0..d/2-1 | d/2..d-1)`` within each
+    head's channel slot of a packed ``[*, num_heads*head_dim]`` projection.
+
+    Folding this permutation into the q/k projection weights (and the q/k
+    norm scales) lets RoPE run in the rotate-half form (``apply_rope_half``)
+    with no per-token pair interleaving.  Attention output is invariant: a
+    common channel permutation of q and k leaves every q·k score unchanged
+    (same set of products), and v is untouched — so no inverse permutation
+    is needed anywhere downstream (the pooled ASA predictor pools over
+    tokens, not channels, and is invariant for the same reason).
+    """
+    d = head_dim
+    deint = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+    return (np.arange(num_heads)[:, None] * d + deint[None, :]).reshape(-1)
+
+
+def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate-half RoPE on de-interleaved channels ``x [..., L, D]``.
+
+    Numerically identical (same per-element products/sums) to ``apply_rope``
+    on interleaved channels, provided ``x``'s channels were permuted by
+    ``deinterleave_perm`` — pair ``(2i, 2i+1)`` becomes ``(i, i+D/2)`` and
+    rotates by the same table angle ``i``.  The split-half form avoids the
+    two lane-minor relayouts (``reshape -> [..., D/2, 2]`` and the stack
+    back) that make the interleaved form ~5x the bandwidth bound on TPU —
+    measured 7.3 -> 1.5 ms per Wan layer (q+k) on v5e.
+    """
+    dtype = x.dtype
+    half = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    re, im = xf[..., :half], xf[..., half:]
+    out = jnp.concatenate([re * cos - im * sin, re * sin + im * cos], axis=-1)
+    return out.astype(dtype)
+
+
+class PermutedDense(nn.Module):
+    """``nn.Dense`` with a static output-channel permutation folded into the
+    kernel/bias at trace time.
+
+    Parameter names, shapes, dtypes, and initializers match ``nn.Dense``
+    exactly, so checkpoints and converters are layout-compatible — the
+    permutation is purely an execution detail.  The fold costs one
+    ``[in, out]`` weight gather per step (~9 MB for Wan-1.3B q/k: free)
+    instead of a per-token activation gather.
+    """
+
+    features: int
+    out_perm: Any  # static numpy index array (hash by id is fine: module-local)
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        perm = np.asarray(self.out_perm)
+        y = x @ kernel[:, perm].astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias[perm].astype(self.dtype)
+        return y
+
+
+class PermutedLayerNorm(nn.Module):
+    """LayerNorm over the last axis with statically permuted scale/bias
+    (parameter layout matches ``nn.LayerNorm``); f32 internals.  Mean and
+    variance are permutation-invariant, so this normalizes permuted inputs
+    exactly as ``nn.LayerNorm`` normalizes unpermuted ones."""
+
+    epsilon: float = 1e-6
+    feature_perm: Any = None  # static numpy index array
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        n = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (n,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (n,), self.param_dtype)
+        if self.feature_perm is not None:
+            perm = np.asarray(self.feature_perm)
+            scale, bias = scale[perm], bias[perm]
+        return y * scale + bias
 
 
 def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:

@@ -33,9 +33,11 @@ import jax.numpy as jnp
 
 from blade.models.layers import (
     FeedForward,
+    PermutedDense,
     RMSNorm,
     TimestepEmbedder,
-    apply_rope,
+    apply_rope_half,
+    deinterleave_perm,
     dense_attention_fn,
     rope_3d_tables,
 )
@@ -88,16 +90,25 @@ class WanSelfAttention(nn.Module):
         dense = lambda name: nn.Dense(
             c.dim, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
-        q = RMSNorm(eps=c.eps, name="norm_q")(dense("to_q")(x))
-        k = RMSNorm(eps=c.eps, name="norm_k")(dense("to_k")(x))
+        # q/k run with a de-interleave channel permutation folded into the
+        # projection weights + norm scales (trace-time; checkpoint layout
+        # unchanged) so RoPE takes the relayout-free rotate-half form.
+        # Attention is invariant to a common q/k channel permutation, so
+        # nothing downstream unpermutes (see layers.deinterleave_perm).
+        perm = tuple(deinterleave_perm(c.num_heads, c.head_dim).tolist())
+        pdense = lambda name: PermutedDense(
+            c.dim, out_perm=perm, dtype=self.dtype, name=name
+        )
+        q = RMSNorm(eps=c.eps, feature_perm=perm, name="norm_q")(pdense("to_q")(x))
+        k = RMSNorm(eps=c.eps, feature_perm=perm, name="norm_k")(pdense("to_k")(x))
         v = dense("to_v")(x)
 
         def heads(t):  # [B, L, D] -> [B, H, L, d]
             return t.reshape(b, l, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        q = apply_rope(q, rope_cos, rope_sin)
-        k = apply_rope(k, rope_cos, rope_sin)
+        q = apply_rope_half(q, rope_cos, rope_sin)
+        k = apply_rope_half(k, rope_cos, rope_sin)
         out = self.attention_fn(q, k, v, **attn_kwargs)
         if isinstance(out, tuple):
             # attention_fn collected an aux (e.g. the ASA mask for
