@@ -56,17 +56,24 @@ class RMSNorm(nn.Module):
     feature_perm: Optional[Tuple[int, ...]] = None
 
     @nn.compact
-    def __call__(self, x):
-        dtype = x.dtype
-        xf = x.astype(jnp.float32)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        y = xf * jax.lax.rsqrt(var + self.eps)
+    def __call__(self, x, *, scale_only: bool = False):
+        scale = None
         if self.use_scale:
             scale = self.param(
                 "scale", nn.initializers.ones, (x.shape[-1],), self.param_dtype
             )
             if self.feature_perm is not None:
                 scale = scale[np.asarray(self.feature_perm)]
+        if scale_only:
+            # Param-only access for callers that fuse the normalization into
+            # a Pallas kernel (kernels/norm_rope.py) but must keep the
+            # checkpoint path (<name>/scale) unchanged.
+            return scale
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + self.eps)
+        if self.use_scale:
             y = y * scale
         return y.astype(dtype)
 

@@ -36,11 +36,12 @@ from blade.models.layers import (
     PermutedDense,
     RMSNorm,
     TimestepEmbedder,
-    apply_rope_half,
+    apply_rope_half,  # noqa: F401 — re-exported for tests/adapters
     deinterleave_perm,
     dense_attention_fn,
     rope_3d_tables,
 )
+from blade.kernels.norm_rope import norm_rope_heads
 
 __all__ = ["WanConfig", "WanModel", "WAN_1_3B", "WAN_14B", "WAN_TINY"]
 
@@ -86,7 +87,6 @@ class WanSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x, rope_cos, rope_sin, attn_kwargs):
         c = self.cfg
-        b, l, _ = x.shape
         dense = lambda name: nn.Dense(
             c.dim, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
@@ -99,16 +99,31 @@ class WanSelfAttention(nn.Module):
         pdense = lambda name: PermutedDense(
             c.dim, out_perm=perm, dtype=self.dtype, name=name
         )
-        q = RMSNorm(eps=c.eps, feature_perm=perm, name="norm_q")(pdense("to_q")(x))
-        k = RMSNorm(eps=c.eps, feature_perm=perm, name="norm_k")(pdense("to_k")(x))
-        v = dense("to_v")(x)
-
-        def heads(t):  # [B, L, D] -> [B, H, L, d]
-            return t.reshape(b, l, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(q), heads(k), heads(v)
-        q = apply_rope_half(q, rope_cos, rope_sin)
-        k = apply_rope_half(k, rope_cos, rope_sin)
+        qp = pdense("to_q")(x)
+        kp = pdense("to_k")(x)
+        # Norm + head split + RoPE run as ONE Pallas bandwidth pass
+        # (kernels/norm_rope.py): the unfused lane costs 4.5 ms/layer of
+        # relayout/elementwise traffic at 480p on top of the 1.5 ms
+        # projections.  The RMSNorm modules only contribute their scale
+        # param here (checkpoint path unchanged).
+        sq = RMSNorm(eps=c.eps, feature_perm=perm, name="norm_q")(
+            qp, scale_only=True
+        )
+        sk = RMSNorm(eps=c.eps, feature_perm=perm, name="norm_k")(
+            kp, scale_only=True
+        )
+        q = norm_rope_heads(qp, sq, rope_cos, rope_sin, c.num_heads, eps=c.eps)
+        k = norm_rope_heads(kp, sk, rope_cos, rope_sin, c.num_heads, eps=c.eps)
+        # v's head transpose (and the output inverse below) stay in XLA: they
+        # sit adjacent to matmuls, which absorb pure relayouts for free —
+        # dedicated Pallas copies measured ~2x SLOWER (scripts/
+        # profile_qk_lane.py: pack 0.45 XLA vs 0.87, unpack 0.55 vs 1.16 ms).
+        b, l, _ = x.shape
+        v = (
+            dense("to_v")(x)
+            .reshape(b, l, c.num_heads, c.head_dim)
+            .transpose(0, 2, 1, 3)
+        )
         out = self.attention_fn(q, k, v, **attn_kwargs)
         if isinstance(out, tuple):
             # attention_fn collected an aux (e.g. the ASA mask for
