@@ -220,7 +220,8 @@ def _bench_cog_e2e_reuse(pipe, params, init, noise, embeds, rng, sched,
 
 
 def bench_cog_e2e_impl():
-    """8-step CogVideoX-5B 480p denoise, sparse (multilevel ASA) vs dense.
+    """8-step CogVideoX-5B 480p denoise, dense vs sparse (multilevel ASA),
+    plus a streamed VAE decode leg.
 
     CogVideoX-5B is 10.6 GB in bf16 — an on-device f32 flax init (20 GB)
     OOMs the 16 GB chip and shipping host-initialized weights through the
@@ -228,9 +229,13 @@ def bench_cog_e2e_impl():
     timing only, and multilevel rank bands make the sparse path's compute
     input-independent (static per-level counts), so the params are
     generated DIRECTLY on device in bf16 from an ``eval_shape`` of the
-    real flax init (exact tree/shapes, N(0, 0.02) values).  Decode is
-    excluded (the VAE cost is family-independent and measured in the wan
-    e2e); reported numbers are denoise-only.
+    real flax init (exact tree/shapes, N(0, 0.02) values).
+
+    Section order = metric importance (VERDICT r4 #1): dense leg FIRST
+    (sparse was the only leg the r4 driver captured), then sparse, so the
+    speedup pair completes as early as possible; then the cog VAE decode
+    (VERDICT r4 weak #6: ``vae_cogvideox`` tiling differs from wan — its
+    on-chip cost needs its own measurement), then mask-reuse extras.
     """
     from blade.config import COGVIDEOX_480P
     from blade.sampling.pipeline import cog_stepper
@@ -247,10 +252,10 @@ def bench_cog_e2e_impl():
         return deadline - time.monotonic()
 
     pipes = {
-        "sparse": T2VPipeline(preset, None, None, sparse=True,
-                              mask_mode="multilevel", interpret=False),
         "dense": T2VPipeline(preset, None, None, sparse=False,
                              interpret=False),
+        "sparse": T2VPipeline(preset, None, None, sparse=True,
+                              mask_mode="multilevel", interpret=False),
     }
     # ASA carries no parameters, so one tree serves both modules.  Full
     # latent shape: the model-level gilbert token_perm is baked for the
@@ -282,6 +287,8 @@ def bench_cog_e2e_impl():
         snr_shift_scale=preset.snr_shift_scale,
         rescale_betas_zero_snr=preset.rescale_betas_zero_snr)
     step_ms = {}
+    latents = None
+    sparse_ctx = None
     for name, pipe in pipes.items():
         def step_p(params, state, i, te, r, pipe=pipe):
             def mf(x, tt, tee, rr):
@@ -311,26 +318,65 @@ def bench_cog_e2e_impl():
         step_ms[name] = min(runs) / 8 * 1e3
         out[f"cog_e2e_denoise8_{name}_s"] = round(min(runs), 3)
         out[f"cog_e2e_{name}_step_ms"] = round(step_ms[name], 1)
+        if name == "sparse":
+            latents = state.x
+            sparse_ctx = (pipe, init, noise)
+            out["cog_e2e_denoise_speedup"] = round(
+                step_ms["dense"] / step_ms["sparse"], 3)
+            out["cog_e2e_speedup_vs_50step_dense_denoise"] = round(
+                50 * step_ms["dense"] / (8 * step_ms["sparse"]), 2)
         print(json.dumps(out), flush=True)  # partial — survive a kill
-
-        if name == "sparse" and os.environ.get(
-                "BLADE_BENCH_E2E_REUSE", "1") not in ("0", "off"):
-            if left() < 300:
-                out["cog_e2e_reuse_skipped"] = "budget"
-            else:
-                try:
-                    out.update(_bench_cog_e2e_reuse(
-                        pipe, params, init, noise, embeds, rng, sched))
-                except Exception as e:
-                    out["cog_e2e_reuse_error"] = \
-                        f"{type(e).__name__}: {e}"[:200]
-                print(json.dumps(out), flush=True)
         jstep = state = None
 
-    out["cog_e2e_denoise_speedup"] = round(
-        step_ms["dense"] / step_ms["sparse"], 3)
-    out["cog_e2e_speedup_vs_50step_dense_denoise"] = round(
-        50 * step_ms["dense"] / (8 * step_ms["sparse"]), 2)
+    # --- cog VAE decode leg (streamed chunked_decode on-chip): the cog
+    # serving claim gets its own decode cost — vae_cogvideox is a different
+    # module with different tiling than the wan VAE measured in --e2e.
+    # Random conv weights: decode FLOP/byte cost is weight-independent.
+    pipe, init, noise = sparse_ctx
+    try:
+        if left() < 240:
+            raise TimeoutError(f"budget ({left():.0f}s left)")
+        import gc
+
+        params = None
+        gc.collect()
+        t_l, h_l, w_l = preset.latent_grid()
+        ps = preset.dit.patch_size
+        z0 = jnp.zeros((1, 1, min(h_l * ps, 8), min(w_l * ps, 8),
+                        preset.vae.latent_channels), jnp.float32)
+        pipe.vae_params = pipe.vae.init(jax.random.fold_in(rng, 7), z0,
+                                        method=pipe.vae.decode)
+        checksum = jax.jit(lambda f: jnp.mean(f.astype(jnp.float32)))
+        frames = pipe.decode_latents(latents.astype(pipe.dtype))
+        jax.device_get(checksum(frames))  # compile + first run
+        t0 = time.perf_counter()
+        frames = pipe.decode_latents(latents.astype(pipe.dtype))
+        jax.device_get(checksum(frames))
+        out["cog_e2e_decode_s"] = round(time.perf_counter() - t0, 3)
+        out["cog_clip_s_8step_sparse"] = round(
+            out["cog_e2e_denoise8_sparse_s"] + out["cog_e2e_decode_s"], 3)
+        out["cog_clips_per_min_chip"] = round(
+            60.0 / out["cog_clip_s_8step_sparse"], 3)
+        frames = None
+        pipe.vae_params = None
+        gc.collect()
+    except Exception as e:
+        out["cog_e2e_decode_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(out), flush=True)
+
+    if os.environ.get("BLADE_BENCH_E2E_REUSE", "1") not in ("0", "off"):
+        if left() < 300:
+            out["cog_e2e_reuse_skipped"] = "budget"
+        else:
+            try:
+                if params is None:  # dropped to make room for the decode
+                    params = make_params(jax.random.fold_in(rng, 1))
+                out.update(_bench_cog_e2e_reuse(
+                    pipe, params, init, noise, embeds, rng, sched))
+            except Exception as e:
+                out["cog_e2e_reuse_error"] = \
+                    f"{type(e).__name__}: {e}"[:200]
+        print(json.dumps(out), flush=True)
     return out
 
 
@@ -343,9 +389,13 @@ def bench_e2e_impl():
     embeddings (the TDM data-free serving path; T5 encode is per-prompt
     and amortizes across the 4-5 s denoise+decode).
 
-    Reports the BASELINE.md north-star figure: 8-step sparse clip
-    throughput vs the 50-step dense baseline (both including the streamed
-    VAE decode).
+    Section order = metric importance (VERDICT r4 #1): the BASELINE.md
+    north-star (8-step sparse clip seconds INCLUDING the streamed VAE
+    decode, clips/min/chip, speedup vs the 50-step dense baseline) is
+    assembled first — sparse denoise, then decode, then dense denoise —
+    and every optional extra (realistic-density leg, mask reuse, batch-2,
+    bf16 VAE) comes after, budget-gated.  Partial JSON is printed after
+    every section so a timeout never loses completed numbers.
     """
     import gc
 
@@ -359,34 +409,39 @@ def bench_e2e_impl():
         (1, WAN_480P.max_text_len, WAN_480P.text.d_model), jnp.bfloat16)
     out = {}
     step_ms = {}
-    latents = None
-    pipe = None
     deadline = time.monotonic() + float(
         os.environ.get("BLADE_E2E_BUDGET_S", "1e9"))
 
     def left():
         return deadline - time.monotonic()
-    for sparse in (True, False):
-        # Free the previous pipeline BEFORE initializing the next: two f32
-        # param trees plus compile workspace exhaust the 16 GB chip.
-        if pipe is not None:
-            pipe.dit_params = None
-            dit_params = jstep = state = None
-            gc.collect()
-        pipe = T2VPipeline.random_init(
-            WAN_480P, rng, sparse=sparse, mask_mode="energy",
+
+    def mark(msg):
+        # stderr progress marks (stdout carries only JSON): lets a watcher
+        # see WHERE a relay hang happened without polluting the parse.
+        print(f"[e2e +{time.monotonic() - (deadline - float(os.environ.get('BLADE_E2E_BUDGET_S', '1e9'))):.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    def build_pipe(preset, sparse):
+        """Random-init pipeline with bf16 serving weights (halves HBM +
+        weight-load bandwidth; the model computes in bf16 regardless).
+        Returns (pipe, dit_params); pipe.dit_params stays None so the f32
+        init tree is freed immediately."""
+        p = T2VPipeline.random_init(
+            preset, rng, sparse=sparse, mask_mode="energy",
             with_text_encoder=False, interpret=False)
-
-        # Serving dtype: bf16 weights (halves HBM + weight-load bandwidth;
-        # the model computes in bf16 regardless).  Drop the f32 init tree.
-        dit_params = jax.tree.map(
+        dp = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, pipe.dit_params)
-        pipe.dit_params = None
+            if x.dtype == jnp.float32 else x, p.dit_params)
+        p.dit_params = None
         gc.collect()
+        return p, dp
 
+    def make_step(pipe):
         # params enter as jit ARGUMENTS — a closure would bake the
-        # parameter tree into the program as lowering constants
+        # parameter tree into the program as lowering constants.
+        # NO buffer donation: donated executables fail at dispatch on the
+        # tunneled runtime (INVALID_ARGUMENT) and poison the process — the
+        # UniPC state is ~25 MB, donation buys nothing here anyway.
         def step_p(params, state, i, te, r, pipe=pipe):
             def mf(x, tt, tee, rr):
                 return pipe.dit.apply(params, x, tt, tee,
@@ -395,79 +450,51 @@ def bench_e2e_impl():
             _, st = wan_stepper(mf, num_steps=8)
             return st(state, i, te, r)
 
-        # NO buffer donation: donated executables fail at dispatch on the
-        # tunneled runtime (INVALID_ARGUMENT) and poison the process — the
-        # UniPC state is ~25 MB, donation buys nothing here anyway.
         init, _ = wan_stepper(lambda *a: None, num_steps=8)
-        jstep = jax.jit(step_p)
-        noise = jax.random.normal(
-            jax.random.fold_in(rng, 2), pipe.latent_shape(1), jnp.float32
-        ).astype(pipe.dtype)
+        return init, jax.jit(step_p)
+
+    def time_denoise8(jstep, init, dit_params, noise, reps=2):
+        mark("step compile+first run...")
         state = jstep(dit_params, init(noise), jnp.asarray(0), embeds, rng)
         jax.device_get(state.x)  # compile + first run
-
+        mark("compiled; timing")
         runs = []
-        for _ in range(3):
+        for r in range(reps):
             state = init(noise)
             t0 = time.perf_counter()
             for i in range(8):
                 state = jstep(dit_params, state, jnp.asarray(i), embeds, rng)
             jax.device_get(state.x)
             runs.append(time.perf_counter() - t0)
-        name = "sparse" if sparse else "dense"
-        step_ms[name] = min(runs) / 8 * 1e3
-        out[f"e2e_denoise8_{name}_s"] = round(min(runs), 3)
-        print(json.dumps(out), flush=True)  # partial — survive a kill
-        if sparse:
-            latents = state.x
-            if os.environ.get("BLADE_BENCH_E2E_REUSE", "1") not in ("0", "off"):
-                if left() < 300:
-                    out["e2e_reuse_skipped"] = "budget"
-                else:
-                    try:
-                        out.update(_bench_e2e_reuse(
-                            pipe, dit_params, init, noise, embeds, rng))
-                    except Exception as e:
-                        out["e2e_reuse_error"] = \
-                            f"{type(e).__name__}: {e}"[:200]
-                    print(json.dumps(out), flush=True)
-            if left() < 240:
-                out["e2e_batch2_skipped"] = "budget"
-            elif os.environ.get("BLADE_BENCH_E2E_BATCH2", "1") not in ("0", "off"):
-                # Serving throughput: batch-2 denoise (same jitted step,
-                # new shapes).  Per-clip cost drops when batching amortizes
-                # per-step dispatch + keeps the MXU fuller.
-                try:
-                    noise2 = jnp.concatenate([noise, noise], axis=0)
-                    embeds2 = jnp.concatenate([embeds, embeds], axis=0)
-                    st2 = jstep(dit_params, init(noise2), jnp.asarray(0),
-                                embeds2, rng)
-                    jax.device_get(st2.x)
-                    runs2 = []
-                    for _ in range(2):
-                        st2 = init(noise2)
-                        t0 = time.perf_counter()
-                        for i in range(8):
-                            st2 = jstep(dit_params, st2, jnp.asarray(i),
-                                        embeds2, rng)
-                        jax.device_get(st2.x)
-                        runs2.append(time.perf_counter() - t0)
-                    out["e2e_denoise8_sparse_batch2_s"] = round(min(runs2), 3)
-                    out["e2e_denoise_clips_per_min_batch2"] = round(
-                        2 * 60.0 / min(runs2), 3)
-                    st2 = noise2 = embeds2 = None
-                    print(json.dumps(out), flush=True)
-                except Exception as e:
-                    out["e2e_batch2_error"] = f"{type(e).__name__}: {e}"[:200]
+            mark(f"denoise8 rep {r}: {runs[-1]:.2f}s")
+        return min(runs), state
 
-    # streamed VAE decode (2-program chunk loop, on the last-built pipe's
-    # random VAE params); time the warm pass.  Completion is synced with a
-    # jitted on-device checksum: device_get of the f32 frames would charge
-    # the dev tunnel's ~5 MB/s host link (80+ s for 370 MB) to the decode.
-    # The host pull is timed separately on the uint8 frames (the export
-    # dtype; 4x smaller) — on production PCIe it is milliseconds.
+    # ---- 1. sparse denoise (the serving path) --------------------------
+    mark("building sparse pipe (on-device random init)")
+    pipe, dit_params = build_pipe(WAN_480P, sparse=True)
+    mark("sparse pipe built")
+    noise = jax.random.normal(
+        jax.random.fold_in(rng, 2), pipe.latent_shape(1), jnp.float32
+    ).astype(pipe.dtype)
+    init, jstep = make_step(pipe)
+    t_sparse, state = time_denoise8(jstep, init, dit_params, noise)
+    step_ms["sparse"] = t_sparse / 8 * 1e3
+    out["e2e_denoise8_sparse_s"] = round(t_sparse, 3)
+    out["e2e_sparse_step_ms"] = round(step_ms["sparse"], 1)
+    print(json.dumps(out), flush=True)  # partial — survive a kill
+    latents = state.x
+
+    # ---- 2. streamed VAE decode -> the clip-seconds half of the north
+    # star.  2-program chunk loop on the pipe's random VAE params; warm
+    # pass timed.  Completion is synced with a jitted on-device checksum:
+    # device_get of the f32 frames would charge the dev tunnel's ~5 MB/s
+    # host link (80+ s for 370 MB) to the decode.  The host pull is timed
+    # separately on the uint8 frames (the export dtype; 4x smaller) — on
+    # production PCIe it is milliseconds.  DiT params are freed first —
+    # decoder workspace + params + latents must coexist in 16 GB.
     dit_params = jstep = state = None
     gc.collect()
+    mark("decode section")
     checksum = jax.jit(lambda f: jnp.mean(f.astype(jnp.float32)))
     frames = pipe.decode_latents(latents.astype(pipe.dtype))
     jax.device_get(checksum(frames))  # compile + first run
@@ -479,8 +506,127 @@ def bench_e2e_impl():
     u8 = pipe.frames_to_uint8(frames)
     jax.device_get(checksum(u8))  # compile conversion outside the fetch
     t0 = time.perf_counter()
-    host_frames = jax.device_get(pipe.frames_to_uint8(frames))
+    jax.device_get(pipe.frames_to_uint8(frames))
     t_fetch = time.perf_counter() - t0
+    frames = u8 = None
+    sparse_clip_s = t_sparse + t_dec
+    out.update({
+        "e2e_decode_s": round(t_dec, 3),
+        "e2e_fetch_uint8_s_tunnel": round(t_fetch, 3),
+        "e2e_clip_s_8step_sparse": round(sparse_clip_s, 3),
+        "e2e_clips_per_min_chip": round(60.0 / sparse_clip_s, 3),
+    })
+    print(json.dumps(out), flush=True)
+
+    # ---- 3. dense denoise -> the speedup half of the north star --------
+    pipe = None
+    gc.collect()
+    mark("dense section")
+    dense_pipe, dit_params = build_pipe(WAN_480P, sparse=False)
+    init_d, jstep = make_step(dense_pipe)
+    t_dense, state = time_denoise8(jstep, init_d, dit_params, noise)
+    step_ms["dense"] = t_dense / 8 * 1e3
+    dense50_clip_s = 50 * step_ms["dense"] / 1e3 + t_dec
+    out.update({
+        "e2e_denoise8_dense_s": round(t_dense, 3),
+        "e2e_dense_step_ms": round(step_ms["dense"], 1),
+        "e2e_denoise_speedup": round(t_dense / t_sparse, 3),
+        "e2e_speedup_vs_50step_dense": round(dense50_clip_s / sparse_clip_s, 2),
+    })
+    print(json.dumps(out), flush=True)  # north star complete
+    dit_params = jstep = state = dense_pipe = None
+    gc.collect()
+
+    # ---- 4. realistic-density sparse leg (VERDICT r4 #3) ---------------
+    # Random weights give unstructured attention, so the energy mask pins
+    # at WAN_480P's max_retain clamp (~0.21 executed density) — the legs
+    # above are the CONSERVATIVE regime.  Real gilbert-clustered weights
+    # measure ~6% (kernel-level headline).  This leg bounds the production
+    # regime IN-MODEL with a bench-only retain override: clamp max_retain
+    # to the realistic 6.2%, measure the executed density from the
+    # collected masks, and report denoise + clip figures clearly labeled.
+    try:
+        if left() < 300:
+            raise TimeoutError(f"budget ({left():.0f}s left)")
+        mark("realistic-density section")
+        preset_r = dataclasses.replace(
+            WAN_480P, max_retain_ratio=0.062, min_retain_ratio=0.05)
+        pipe_r, dit_r = build_pipe(preset_r, sparse=True)
+        init_r, jstep_r = make_step(pipe_r)
+        t_real, state_r = time_denoise8(jstep_r, init_r, dit_r, noise)
+        # executed density: one collect_mask forward (same program the
+        # reuse refresh lane compiles)
+        o, aux = pipe_r.dit.apply(
+            dit_r, state_r.x, jnp.full((1,), 500.0), embeds,
+            attn_kwargs={"rng": rng, "collect_mask": True},
+            mutable=["intermediates"])
+        from blade.attention.integration import extract_attn_aux
+
+        masks_r = extract_attn_aux(aux["intermediates"])
+        density = float(jnp.mean(
+            jax.tree_util.tree_leaves(masks_r)[0].astype(jnp.float32)))
+        out.update({
+            "e2e_denoise8_sparse_realistic_s": round(t_real, 3),
+            "e2e_sparse_realistic_step_ms": round(t_real / 8 * 1e3, 1),
+            "e2e_realistic_density": round(density, 4),
+            "e2e_denoise_speedup_realistic": round(t_dense / t_real, 3),
+            "e2e_clip_s_8step_sparse_realistic": round(t_real + t_dec, 3),
+            "e2e_clips_per_min_chip_realistic": round(
+                60.0 / (t_real + t_dec), 3),
+            "e2e_speedup_vs_50step_dense_realistic": round(
+                dense50_clip_s / (t_real + t_dec), 2),
+        })
+        o = aux = masks_r = state_r = None
+        jstep_r = init_r = pipe_r = dit_r = None
+        gc.collect()
+    except Exception as e:
+        out["e2e_realistic_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(out), flush=True)
+
+    # ---- 5. extras: mask reuse, batch-2, bf16 VAE (least critical) -----
+    # Rebuild the serving sparse pipe (same rng -> identical weights; the
+    # step program hits the persistent compile cache).
+    mark("extras section (reuse/batch2/bf16)")
+    pipe, dit_params = build_pipe(WAN_480P, sparse=True)
+    init, jstep = make_step(pipe)
+    if os.environ.get("BLADE_BENCH_E2E_REUSE", "1") not in ("0", "off"):
+        if left() < 300:
+            out["e2e_reuse_skipped"] = "budget"
+        else:
+            try:
+                out.update(_bench_e2e_reuse(
+                    pipe, dit_params, init, noise, embeds, rng))
+            except Exception as e:
+                out["e2e_reuse_error"] = f"{type(e).__name__}: {e}"[:200]
+        print(json.dumps(out), flush=True)
+    if left() < 240:
+        out["e2e_batch2_skipped"] = "budget"
+    elif os.environ.get("BLADE_BENCH_E2E_BATCH2", "1") not in ("0", "off"):
+        # Serving throughput: batch-2 denoise (same jitted step, new
+        # shapes).  Per-clip cost drops when batching amortizes per-step
+        # dispatch + keeps the MXU fuller.
+        try:
+            noise2 = jnp.concatenate([noise, noise], axis=0)
+            embeds2 = jnp.concatenate([embeds, embeds], axis=0)
+            st2 = jstep(dit_params, init(noise2), jnp.asarray(0),
+                        embeds2, rng)
+            jax.device_get(st2.x)
+            runs2 = []
+            for _ in range(2):
+                st2 = init(noise2)
+                t0 = time.perf_counter()
+                for i in range(8):
+                    st2 = jstep(dit_params, st2, jnp.asarray(i),
+                                embeds2, rng)
+                jax.device_get(st2.x)
+                runs2.append(time.perf_counter() - t0)
+            out["e2e_denoise8_sparse_batch2_s"] = round(min(runs2), 3)
+            out["e2e_denoise_clips_per_min_batch2"] = round(
+                2 * 60.0 / min(runs2), 3)
+            st2 = noise2 = embeds2 = None
+            print(json.dumps(out), flush=True)
+        except Exception as e:
+            out["e2e_batch2_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # bf16 serving decode (computation dtype only; tested within ~2 pixel
     # levels of f32 in tests/test_vae_families.py).  Headline clip time
@@ -490,6 +636,8 @@ def bench_e2e_impl():
             raise TimeoutError("budget")
         from blade.models.vae import build_vae
 
+        dit_params = jstep = None
+        gc.collect()
         pipe.vae = build_vae(pipe.preset.vae, dtype=jnp.bfloat16)
         f16 = pipe.decode_latents(latents.astype(pipe.dtype))
         jax.device_get(checksum(f16))
@@ -501,18 +649,6 @@ def bench_e2e_impl():
             out["e2e_denoise8_sparse_s"] + out["e2e_decode_bf16_s"], 3)
     except Exception as e:
         out["e2e_decode_bf16_error"] = f"{type(e).__name__}: {e}"[:200]
-
-    sparse_clip_s = out["e2e_denoise8_sparse_s"] + t_dec
-    dense50_clip_s = 50 * step_ms["dense"] / 1e3 + t_dec
-    out.update({
-        "e2e_decode_s": round(t_dec, 3),
-        "e2e_fetch_uint8_s_tunnel": round(t_fetch, 3),
-        "e2e_sparse_step_ms": round(step_ms["sparse"], 1),
-        "e2e_dense_step_ms": round(step_ms["dense"], 1),
-        "e2e_clip_s_8step_sparse": round(sparse_clip_s, 3),
-        "e2e_clips_per_min_chip": round(60.0 / sparse_clip_s, 3),
-        "e2e_speedup_vs_50step_dense": round(dense50_clip_s / sparse_clip_s, 2),
-    })
     return out
 
 
@@ -686,9 +822,9 @@ def main():
         elif _left() < 240:
             extra["e2e_skipped"] = f"budget ({_left():.0f}s left)"
         else:
-            # reserve ~25% of what's left (min 180 s) for the cog e2e
-            reserve = max(180.0, 0.25 * _left())
-            extra.update(bench_e2e(timeout_s=max(120.0, _left() - reserve)))
+            # ~42% of the remaining budget; the rest is reserved for the
+            # cog e2e and the 480p TDM step sections below.
+            extra.update(bench_e2e(timeout_s=max(240.0, 0.42 * _left())))
     except Exception as e:  # e2e must never kill the headline line
         extra["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
     emit()
@@ -699,28 +835,46 @@ def main():
         elif _left() < 180:
             extra["cog_e2e_skipped"] = f"budget ({_left():.0f}s left)"
         else:
-            extra.update(bench_cog_e2e(timeout_s=max(120.0, _left() - 20)))
+            # half of what's left; the rest goes to the 480p TDM step
+            extra.update(bench_cog_e2e(timeout_s=max(180.0, 0.5 * _left())))
     except Exception as e:
         extra["cog_e2e_error"] = f"{type(e).__name__}: {e}"[:200]
     emit()
 
-    # Opt-in (compile ~12 min): full-width Wan-1.3B 480p TDM train step.
-    # Reference training envelope on one chip; measured 24.4 s/step r4.
+    # Full-width Wan-1.3B 480p TDM train step (reference training envelope
+    # on one 16 GB chip; 80 GB GPUs upstream).  Runs by default when
+    # budget remains (VERDICT r4 #4): with the persistent compile cache
+    # warm the step program loads in ~1 min; a cold cache (~12 min
+    # compile) hits the subprocess timeout and the skip is recorded.
     try:
-        if os.environ.get("BLADE_BENCH_TDM480", "0") not in ("0", "off") \
-                and _left() > 900:
+        if os.environ.get("BLADE_BENCH_TDM480", "1") in ("0", "off"):
+            extra["tdm_480p_skipped"] = "env"
+        elif _left() < 300:
+            extra["tdm_480p_skipped"] = f"budget ({_left():.0f}s left)"
+            emit()
+        else:
             proc = subprocess.run(
                 [sys.executable, "scripts/tdm_480p_step.py"],
                 capture_output=True, text=True,
                 timeout=max(120.0, _left() - 20),
                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            got = None
             for line in reversed(proc.stdout.strip().splitlines()):
                 try:
-                    extra["tdm_480p"] = json.loads(line)
+                    got = json.loads(line)
                     break
                 except ValueError:
                     continue
+            if got is not None and "value" in got:
+                extra["tdm_480p"] = got
+            else:
+                extra["tdm_480p_error"] = (
+                    f"rc={proc.returncode} no metric line; "
+                    + (proc.stderr or "")[-200:])
             emit()
+    except subprocess.TimeoutExpired:
+        extra["tdm_480p_error"] = "timeout (compile cache cold?)"
+        emit()
     except Exception as e:
         extra["tdm_480p_error"] = f"{type(e).__name__}: {e}"[:200]
         emit()

@@ -64,11 +64,14 @@ def rope_full_tables(cos: jnp.ndarray, sin: jnp.ndarray):
 
 
 def _row_tile(s: int, cap: int = 512) -> int:
-    """Largest multiple-of-8 divisor of ``s`` that is <= cap (0 if none).
+    """Largest multiple-of-8 divisor of ``s`` in ``[64, cap]`` (0 if none).
 
     Divisor tiles keep every grid block full — no boundary masking and no
     padded-row traffic.  The 512 cap keeps the f32 working set comfortably
-    inside scoped VMEM with double-buffered in/out blocks.
+    inside scoped VMEM with double-buffered in/out blocks; the 64 floor
+    sends shorter rows (8 <= s < 64, tiny/test shapes) to the XLA fallback
+    where a sub-64-row grid step would waste the kernel's dispatch cost
+    (behavior pinned in tests/test_norm_rope.py).
     """
     for bs in range(min(cap, s) - min(cap, s) % 8, 63, -8):
         if s % bs == 0:
@@ -157,6 +160,7 @@ def norm_rope_heads(
     *,
     eps: float = 1e-6,
     interpret: Optional[bool] = None,
+    fused: bool = True,
 ) -> jnp.ndarray:
     """``rms(x)*scale`` -> ``[B, H, S, d]`` head split -> rotate-half RoPE,
     in one Pallas bandwidth pass.
@@ -165,12 +169,14 @@ def norm_rope_heads(
     de-interleave-permuted (``layers.deinterleave_perm``); ``scale [D]`` is
     the (already permuted) RMS-norm scale; ``cos``/``sin`` are the standard
     half-width tables ``[S, d/2]`` (f32).  Falls back to the exact XLA
-    composition when the geometry doesn't fit the fused path.
+    composition when the geometry doesn't fit the fused path, or when the
+    caller passes ``fused=False`` (tp-sharded inputs: GSPMD can shard the
+    XLA composition but must all-gather around a pallas_call).
     """
     b, s, dim = x.shape
     d = dim // num_heads
     bs = _row_tile(s)
-    if d % 128 != 0 or bs == 0:
+    if not fused or d % 128 != 0 or bs == 0:
         return _norm_rope_reference(x, scale, cos, sin, num_heads, eps)
     if interpret is None:
         interpret = _interpret_default()

@@ -68,6 +68,9 @@ class RMSNorm(nn.Module):
             # Param-only access for callers that fuse the normalization into
             # a Pallas kernel (kernels/norm_rope.py) but must keep the
             # checkpoint path (<name>/scale) unchanged.
+            assert self.use_scale, (
+                "scale_only=True requires use_scale=True: callers fuse the "
+                "norm elsewhere and multiply by the returned scale")
             return scale
         dtype = x.dtype
         xf = x.astype(jnp.float32)

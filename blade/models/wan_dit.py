@@ -66,6 +66,12 @@ class WanConfig:
     # None = T2V (no image branch).
     image_dim: Optional[int] = None
     image_context_tokens: int = 257
+    # Fused Pallas norm+RoPE pass (kernels/norm_rope.py).  Set False for
+    # tp-sharded deployments: GSPMD cannot partition the pallas_call, so
+    # with to_q/to_k outputs sharded on the feature dim it would all-gather
+    # q/k and replicate the norm+rope work per tp shard (ADVICE r4); the
+    # XLA composition shards cleanly.  Single-chip serving keeps it on.
+    fused_norm_rope: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -112,8 +118,10 @@ class WanSelfAttention(nn.Module):
         sk = RMSNorm(eps=c.eps, feature_perm=perm, name="norm_k")(
             kp, scale_only=True
         )
-        q = norm_rope_heads(qp, sq, rope_cos, rope_sin, c.num_heads, eps=c.eps)
-        k = norm_rope_heads(kp, sk, rope_cos, rope_sin, c.num_heads, eps=c.eps)
+        q = norm_rope_heads(qp, sq, rope_cos, rope_sin, c.num_heads,
+                            eps=c.eps, fused=c.fused_norm_rope)
+        k = norm_rope_heads(kp, sk, rope_cos, rope_sin, c.num_heads,
+                            eps=c.eps, fused=c.fused_norm_rope)
         # v's head transpose (and the output inverse below) stay in XLA: they
         # sit adjacent to matmuls, which absorb pure relayouts for free —
         # dedicated Pallas copies measured ~2x SLOWER (scripts/

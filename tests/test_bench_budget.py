@@ -85,6 +85,48 @@ def test_e2e_impl_budget_skips_extras(monkeypatch):
     assert "cog_e2e_reuse_skipped" in src_cog
 
 
+def test_e2e_sections_ordered_by_metric_importance():
+    """VERDICT r4 #1: the north-star metrics (clip seconds incl. VAE
+    decode, clips/min, speedup pair) must be assembled BEFORE the optional
+    extras (realistic-density leg, reuse, batch-2, bf16 VAE), so a driver
+    timeout can no longer lose them.  Pinned structurally on source order."""
+    import inspect
+
+    src = inspect.getsource(bench.bench_e2e_impl)
+    order = [src.index(k) for k in (
+        '"e2e_denoise8_sparse_s"',      # 1. sparse denoise
+        '"e2e_clips_per_min_chip"',     # 2. decode -> clip metrics
+        '"e2e_speedup_vs_50step_dense"',  # 3. dense -> north star done
+        '"e2e_denoise8_sparse_realistic_s"',  # 4. realistic-density leg
+        "_bench_e2e_reuse(",            # 5. extras last
+        '"e2e_denoise8_sparse_batch2_s"',
+        '"e2e_decode_bf16_s"',
+    )]
+    assert order == sorted(order), order
+
+    src_cog = inspect.getsource(bench.bench_cog_e2e_impl)
+    # dense leg first (the r4 driver artifact had sparse only), speedup
+    # pair emitted as soon as sparse lands, decode + reuse after
+    assert src_cog.index('"dense"') < src_cog.index('"sparse"')
+    cog_order = [src_cog.index(k) for k in (
+        '"cog_e2e_denoise_speedup"',
+        '"cog_clip_s_8step_sparse"',
+        "_bench_cog_e2e_reuse(",
+    )]
+    assert cog_order == sorted(cog_order), cog_order
+
+
+def test_tdm480_section_runs_by_default():
+    """VERDICT r4 #4: the 480p TDM step must be driver-visible — default
+    ON (opt-out via env), budget-gated, timeout recorded as a skip."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert 'os.environ.get("BLADE_BENCH_TDM480", "1")' in src
+    assert "tdm_480p_skipped" in src
+    assert "compile cache cold" in src
+
+
 def test_headline_emitted_before_optional_sections():
     """main() must print a complete headline line before any e2e section
     (the driver parses the LAST complete line; an early print guarantees

