@@ -88,7 +88,10 @@ def block_masked_attention(
     s = jnp.einsum("...qd,...kd->...qk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
     s = jnp.where(token_mask, s + bias, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    # Masked entries must be EXACT zeros: for a fully-empty row m == NEG_INF
+    # and exp(s - m) would be exp(0) = 1 everywhere, leaking mean-of-V into
+    # a row the kernels (and the ring merge) define as out = 0, lse = -inf.
+    p = jnp.where(token_mask, jnp.exp(s - m), 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
     l_safe = jnp.where(l == 0, 1.0, l)
     out = jnp.einsum("...qk,...kd->...qd", p / l_safe, v.astype(jnp.float32))
