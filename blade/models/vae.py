@@ -40,6 +40,7 @@ __all__ = [
     "WAN_VAE",
     "TINY_VAE",
     "tiled_decode",
+    "uniform_tiling",
     "build_vae",
 ]
 
@@ -288,32 +289,57 @@ class CausalVAE(nn.Module):
         return self.decode(z)
 
 
+def uniform_tiling(dim: int, max_tile: int):
+    """Pick ``(tile, overlap)`` so ``dim`` splits into EQUAL tiles of at
+    most ``max_tile`` with a 4-12 latent-pixel overlap: uniform tiles mean
+    one compiled decoder program instead of one per ragged edge shape.
+    Returns ``(dim, 0)`` when no tiling is needed."""
+    if dim <= max_tile:
+        return dim, 0
+    for n in range(2, dim):
+        for ov in (6, 8, 4, 9, 12, 10, 5, 7, 11):
+            if (dim + ov * (n - 1)) % n == 0:
+                tile = (dim + ov * (n - 1)) // n
+                if ov < tile <= max_tile:
+                    return tile, ov
+    return max_tile, 4  # ragged fallback (shouldn't happen for dim > 12)
+
+
 def tiled_decode(
     decode_fn,
     z: jnp.ndarray,
     *,
-    tile_latent: int = 32,
-    overlap: int = 4,
+    tile_latent: int | tuple = 32,
+    overlap: int | tuple = 4,
     spatial_factor: int = 8,
 ):
     """`enable_tiling` equivalent: decode [B, T, H, W, C] latents in spatial
     tiles with linear overlap blending; peak activation memory is bounded by
-    the tile size instead of the frame size."""
+    the tile size instead of the frame size.
+
+    ``tile_latent`` / ``overlap`` may be per-axis ``(h, w)`` tuples —
+    picking tiles that divide the grid evenly keeps every tile the SAME
+    shape, so the decoder compiles ONE program instead of one per ragged
+    edge-tile shape (e.g. cog 480p 30x45 latents -> 2x3 tiles of 18x21
+    with overlaps (6, 9))."""
     b, t, h, w, c = z.shape
-    stride = tile_latent - overlap
+    tile_h, tile_w = (tile_latent if isinstance(tile_latent, (tuple, list))
+                      else (tile_latent, tile_latent))
+    ov_h, ov_w = (overlap if isinstance(overlap, (tuple, list))
+                  else (overlap, overlap))
     rows = []
-    for i0 in range(0, max(h - overlap, 1), stride):
+    for i0 in range(0, max(h - ov_h, 1), tile_h - ov_h):
         cols = []
-        for j0 in range(0, max(w - overlap, 1), stride):
-            tile = z[:, :, i0 : i0 + tile_latent, j0 : j0 + tile_latent]
+        for j0 in range(0, max(w - ov_w, 1), tile_w - ov_w):
+            tile = z[:, :, i0 : i0 + tile_h, j0 : j0 + tile_w]
             cols.append(decode_fn(tile))
         rows.append(cols)
 
     f = spatial_factor
-    ov = overlap * f
 
     def blend(a, b_, axis):
-        """Linear crossfade of `ov` pixels along axis."""
+        """Linear crossfade of the overlap pixels along axis."""
+        ov = (ov_h if axis == 2 else ov_w) * f
         n = a.shape[axis]
         ramp_shape = [1] * a.ndim
         ramp_shape[axis] = ov

